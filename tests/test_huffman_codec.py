@@ -86,7 +86,10 @@ def test_warp_interleave_roundtrip():
         seps.append(s)
     bits_pl = [np.abs([d.codes[int(s)][1] for s in lanes[t]]).astype(np.int64) for t in range(WARP_SIZE)]
     packed = interleave_warp(words_pl, numcw_pl, bits_pl)
-    assert len(packed) == sum(len(w) for w in words_pl)
+    # protocol-exact interleave adds 1-2 dummy words per lane for the
+    # GPU's phantom lookahead refills
+    real = sum(len(w) for w in words_pl)
+    assert real <= len(packed) <= real + 2 * WARP_SIZE
 
     sep_offsets = np.concatenate([[0], np.cumsum([len(s) for s in seps])[:-1]])
     separate = (
