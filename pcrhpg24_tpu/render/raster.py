@@ -1,0 +1,96 @@
+"""Point rasterization with exact 64-bit depth-test semantics, in JAX.
+
+The reference rasterizes with a u64 atomicMin per pixel over keys
+`(f32_bits(clip.w) << 32) | payload` (reference: modules/
+huffman_mem_iter_cuda/render.cu:276-303).  TPUs have no atomics; we get
+the identical winner with two u32 scatter-min passes:
+
+  1. scatter-min of depth bits per pixel,
+  2. scatter-min of payload restricted to points whose depth equals the
+     per-pixel minimum.
+
+u64 min picks (min depth, then min payload among min-depth points) —
+exactly what the two passes compute.  This is the XLA path (correct,
+moderate speed); the Pallas sort-merge path is the performance path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+EMPTY = jnp.uint32(0xFFFFFFFF)
+BACKGROUND = jnp.uint32(0x00443322)  # resolve.cu:166
+
+
+def project(positions, transform):
+    """positions (N,3) f32, transform (4,4) f32 -> clip (N,4).
+
+    Written as explicit VPU multiply-adds: a matmul here would route
+    through the MXU at bf16 default precision on TPU and destroy the
+    depth bits.
+    """
+    t = transform.astype(jnp.float32)
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    cols = [t[i, 0] * x + t[i, 1] * y + t[i, 2] * z + t[i, 3] for i in range(4)]
+    return jnp.stack(cols, axis=-1)
+
+
+def scatter_u64_min(pid, depth, payload, size: int):
+    """Exact u64 (depth<<32|payload) scatter-min via two u32 passes.
+
+    pid: (N,) i32 pixel ids with out-of-range == dropped; depth/payload
+    u32.  Returns (fb_depth, fb_payload) each (size,) u32 initialized to
+    EMPTY (the reference clears the fb to 0xFF bytes,
+    huffman_mem_iter_cuda.h:250).
+    """
+    fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
+    fb_depth = fb_depth.at[pid].min(depth, mode="drop")
+    ok = (pid >= 0) & (pid < size)
+    winner = ok & (depth == fb_depth[jnp.clip(pid, 0, size - 1)])
+    pid2 = jnp.where(winner, pid, size)
+    fb_payload = jnp.full((size,), EMPTY, jnp.uint32)
+    fb_payload = fb_payload.at[pid2].min(payload, mode="drop")
+    return fb_depth, fb_payload
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def rasterize(positions, payload, transform, width: int, height: int, mask=None):
+    """Scatter points into (H*W,) u32 depth + payload framebuffers.
+
+    positions: (N,3) f32 in render frame; payload: (N,) u32; transform:
+    (4,4) worldViewProj.  Returns (fb_depth, fb_payload) flattened row-
+    major, y-up (GL convention; flip when exporting images).
+    """
+    clip = project(positions, transform)
+    w = clip[:, 3]
+    ndc_x = clip[:, 0] / w
+    ndc_y = clip[:, 1] / w
+    # accept test, render.cu:296
+    ok = (w > 0) & (ndc_x >= -1) & (ndc_x <= 1) & (ndc_y >= -1) & (ndc_y <= 1)
+    if mask is not None:
+        ok &= mask
+    px = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
+    py = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
+    ok &= (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    pid = jnp.where(ok, px + py * width, width * height)
+    depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    return scatter_u64_min(pid, depth, payload, width * height)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def resolve(fb_payload, width: int, height: int):
+    """Framebuffer -> (H, W) u32 RGBA image (resolve.cu:149-191)."""
+    color = jnp.where(fb_payload != EMPTY, fb_payload, BACKGROUND)
+    return color.reshape(height, width)
+
+
+def image_to_rgb8(image_u32):
+    """(H,W) u32 (R | G<<8 | B<<16) -> (H,W,3) u8, flipped to y-down."""
+    img = image_u32[::-1]
+    r = (img & 0xFF).astype(jnp.uint8)
+    g = ((img >> 8) & 0xFF).astype(jnp.uint8)
+    b = ((img >> 16) & 0xFF).astype(jnp.uint8)
+    return jnp.stack([r, g, b], axis=-1)
