@@ -1,0 +1,93 @@
+"""Headline benchmark: fused Huffman decode + rasterize, points/sec @1080p.
+
+Builds (once, cached under ./out/) a synthetic Morton-sorted `.huffman`
+scene, loads it fully to the device, then times full frames of the
+flagship method — frustum cull + LOD + decode of every visible batch +
+exact depth-test rasterize + resolve — exactly the reference's per-frame
+work (modules/huffman_mem_iter_cuda/).
+
+Prints ONE JSON line.  Baseline: 2e9 points/sec (driver north star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_BATCHES = int(os.environ.get("BENCH_BATCHES", "64"))  # x65 536 pts
+WARMUP = 2
+FRAMES = 5
+W, H = 1920, 1080
+
+
+def build_scene(path: str, num_batches: int) -> str:
+    from pcrhpg24_tpu.formats.las import write_las
+    from pcrhpg24_tpu.preprocess import preprocess_las
+    from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
+
+    las = path + ".las"
+    if not os.path.exists(path):
+        n = num_batches * 65536
+        xyz, rgb = terrain_cloud(n, seed=1, extent=2000.0)
+        grid = cloud_to_grid(xyz, scale=(0.001, 0.001, 0.001))
+        write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+        preprocess_las(las, path, sort=True, verbose=False)
+        os.remove(las)
+    return path
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from pcrhpg24_tpu.engine.debug import Debug
+    from pcrhpg24_tpu.engine.renderer import Renderer, Setting
+    from pcrhpg24_tpu.engine.resource import HuffmanLasData
+    from pcrhpg24_tpu.render.methods.huffman_mem_iter import HuffmanMemIter
+
+    os.makedirs("out", exist_ok=True)
+    scene = build_scene(f"out/bench_{BENCH_BATCHES}.huffman", BENCH_BATCHES)
+
+    Debug.lod = 1.0  # decode + rasterize every point of every visible batch
+    las = HuffmanLasData.create(scene)
+    r = Renderer(W, H)
+    r.apply_setting(
+        Setting(yaw=0.5, pitch=-0.9, radius=2500.0, target=(1000.0, 1000.0, 100.0))
+    )
+    m = HuffmanMemIter(r, las)
+    m.update(r)
+    las.wait_loaded(r)
+
+    r.loop(m.update, m.render, frames=WARMUP)
+    r.controls_update()
+    _, lod_full = m.frame_setup(r)
+    pts_per_frame = int(lod_full.astype(np.int64).sum() * 1024)
+
+    t0 = time.perf_counter()
+    img = r.loop(m.update, m.render, frames=FRAMES)
+    dt = (time.perf_counter() - t0) / FRAMES
+    jax.block_until_ready(img)
+
+    pts_per_sec = pts_per_frame / dt
+    result = {
+        "metric": "fused huffman decode+rasterize @1920x1080",
+        "value": round(pts_per_sec / 1e9, 4),
+        "unit": "Gpoints/s",
+        "vs_baseline": round(pts_per_sec / 2e9, 4),
+        "detail": {
+            "frame_ms": round(dt * 1e3, 2),
+            "points_per_frame": pts_per_frame,
+            "batches": BENCH_BATCHES,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

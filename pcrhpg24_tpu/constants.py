@@ -32,3 +32,6 @@ TPU_GROUPS_PER_BATCH = WORKGROUP_SIZE // TPU_GROUP_SIZE  # 8
 TPU_MAX_CODE_LEN = 12
 # Bucket count: bit-length of zigzag(delta) in [0, 32].
 TPU_NUM_BUCKETS = 33
+
+# Batches per fused render pass (bounds decode working-set memory).
+RENDER_CHUNK_BATCHES = 256

@@ -31,8 +31,7 @@ def _gather(arr, idx):
     return jnp.take(arr, idx, mode="clip")
 
 
-@partial(jax.jit, static_argnames=("points_per_thread",))
-def decode_batches(
+def decode_batches_core(
     encoding,  # (E,) u32 flat
     enc_offsets,  # (B,) i32 batch encoding start
     cluster_sizes,  # (B, 32) i32 inclusive prefix word counts
@@ -124,6 +123,9 @@ def decode_batches(
     _, coords = jax.lax.scan(point_step, init, None, length=points_per_thread)
     # (P, B, L, 3) -> (B, L, P, 3)
     return jnp.transpose(coords, (1, 2, 0, 3))
+
+
+decode_batches = jax.jit(decode_batches_core, static_argnames=("points_per_thread",))
 
 
 def batches_to_device(dumps):
