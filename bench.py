@@ -42,6 +42,9 @@ def build_scene(path: str, num_batches: int) -> str:
 
 def main() -> int:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pcrhpg24_tpu.engine.debug import Debug

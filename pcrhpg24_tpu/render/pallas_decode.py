@@ -1,0 +1,281 @@
+"""Pallas TPU kernel: fused tbatch geometry decode.
+
+Decodes one 65 536-point batch per grid step from the TPU-native
+canonical bucket-Huffman stream (codec/native.py).  The 1024 chains map
+onto one (8, 128) VREG — 8 groups x 128 lanes — and the sequential
+192-symbol loop runs all lanes in lockstep:
+
+* canonical code length detection: 11 broadcast compares against SMEM
+  scalars (no 4096-entry table — cf. the reference's shared-memory
+  decoder table, modules/huffman_mem_iter_cuda/render.cu:383-395),
+* symbol-index -> bucket lookup and refill-word distribution: single
+  in-tile `tpu.dynamic_gather` ops (the only fast gather on TPU,
+  operand shape == index shape, axis 1),
+* the CUDA warp-ballot refill (render.cu:443-450) becomes: refill rank =
+  exclusive lane prefix-sum computed as one MXU matmul with a strictly
+  lower-triangular matrix; the stream window is 8 dynamic-slice row
+  loads at host-precomputed per-round pointers (the encoder simulates
+  the decode protocol, so pointers are known ahead of time).
+
+Output: absolute int32 grid coords, layout (64, 3, 8, 128) per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import POINTS_PER_THREAD, TPU_GROUPS_PER_BATCH, TPU_MAX_CODE_LEN
+
+G = TPU_GROUPS_PER_BATCH  # 8 sublane rows
+LANES = 128
+MAXL = TPU_MAX_CODE_LEN  # 12
+ROUNDS_PER_POINT = 6  # 3 components x (code round + extra round)
+
+_U = jnp.uint32
+_I = jnp.int32
+
+
+def _mk_lt():
+    """(128,128) strictly-lower-triangular ones, bf16 (exact for sums<=256)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    return (r < c).astype(jnp.bfloat16)
+
+
+def _decode_kernel(
+    lj_ref,  # SMEM (1, 1, 16) i32: lj_limit[1..12] at [0:12]
+    stream_ref,  # VMEM (1, 8, MAXW) u32 group streams
+    ptr_ref,  # VMEM (1, 384, 8) i32 per-round window pointers
+    dD_ref,  # VMEM (1, 1, 128) i32: base_idx[L]-first_code[L] at [L], L=1..12
+    lut_ref,  # VMEM (1, 1, 128) i32: sym_idx -> bucket
+    start_ref,  # VMEM (1, 3, 8, 128) i32 chain start values
+    out_ref,  # VMEM (1, 64, 3, 8, 128) i32 absolute coords
+):
+    lt = _mk_lt()
+    dD_row = jnp.broadcast_to(dD_ref[0, 0].reshape(1, LANES), (G, LANES))
+    lut_row = jnp.broadcast_to(lut_ref[0, 0].reshape(1, LANES), (G, LANES))
+
+    cur0 = stream_ref[0, :, 0:LANES]
+    nxt0 = stream_ref[0, :, LANES : 2 * LANES]
+
+    def window_hi(cur, nxt, bitpos):
+        """Top 32 bits of the bit window starting at bitpos."""
+        hi = cur << bitpos.astype(_U)
+        lo = nxt >> jnp.minimum(32 - bitpos, 31).astype(_U)
+        return hi | jnp.where(bitpos > 0, lo, _U(0))
+
+    def refill(t, cur, nxt, bitpos):
+        """One refill round; t is the global round index."""
+        need = bitpos >= 32
+        bitpos = jnp.where(need, bitpos - 32, bitpos)
+        rank = (
+            jax.lax.dot_general(
+                need.astype(jnp.bfloat16),
+                lt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(_I)
+        # VMEM vector loads must start 128-aligned: load the two aligned
+        # tiles around ptr and pick via two in-tile gathers.
+        w0_rows, w1_rows, off_rows = [], [], []
+        for r in range(G):
+            ptr = ptr_ref[0, t, r]
+            base = pl.multiple_of((ptr // LANES) * LANES, LANES)
+            base2 = pl.multiple_of(base + LANES, LANES)
+            w0_rows.append(stream_ref[0, r, pl.ds(base, LANES)].reshape(1, LANES))
+            w1_rows.append(stream_ref[0, r, pl.ds(base2, LANES)].reshape(1, LANES))
+            off_rows.append(jnp.full((1, LANES), ptr - base, _I))
+        w0 = jnp.concatenate(w0_rows, axis=0)
+        w1 = jnp.concatenate(w1_rows, axis=0)
+        idx = jnp.concatenate(off_rows, axis=0) + rank
+        in_lo = idx < LANES
+        v0 = jnp.take_along_axis(w0, jnp.where(in_lo, idx, 0), axis=1)
+        v1 = jnp.take_along_axis(w1, jnp.where(in_lo, 0, idx - LANES), axis=1)
+        refill_val = jnp.where(in_lo, v0, v1)
+        cur = jnp.where(need, nxt, cur)
+        nxt = jnp.where(need, refill_val, nxt)
+        return cur, nxt, bitpos
+
+    def decode_symbol(t, cur, nxt, bitpos):
+        """Returns (delta i32, new state); t = round index of the code round."""
+        win = window_hi(cur, nxt, bitpos)
+        win12 = (win >> _U(32 - MAXL)).astype(_I)
+        L = jnp.ones_like(win12)
+        for j in range(1, MAXL):
+            L = L + (win12 >= lj_ref[0, 0, j - 1]).astype(_I)
+        code_L = (win12 >> jnp.minimum(MAXL - L, MAXL)).astype(_I)
+        sym_idx = jnp.clip(code_L + jnp.take_along_axis(dD_row, jnp.clip(L, 0, 127), axis=1), 0, 127)
+        bucket = jnp.take_along_axis(lut_row, sym_idx, axis=1)
+        bitpos = bitpos + L
+        cur, nxt, bitpos = refill(t, cur, nxt, bitpos)
+
+        e = jnp.maximum(bucket - 1, 0)
+        win2 = window_hi(cur, nxt, bitpos)
+        extra = (win2 >> (_U(31) - e.astype(_U))) >> _U(1)
+        extra = extra & ((_U(1) << e.astype(_U)) - _U(1))
+        bitpos = bitpos + e
+        cur, nxt, bitpos = refill(t + 1, cur, nxt, bitpos)
+
+        z = jnp.where(
+            bucket == 0,
+            _U(0),
+            (_U(1) << e.astype(_U)) | extra,
+        )
+        delta = (z >> _U(1)).astype(_I) ^ -((z & _U(1)).astype(_I))
+        return delta, cur, nxt, bitpos
+
+    def point_step(i, carry):
+        cur, nxt, bitpos, px, py, pz = carry
+        t0 = i * ROUNDS_PER_POINT
+        dx, cur, nxt, bitpos = decode_symbol(t0, cur, nxt, bitpos)
+        dy, cur, nxt, bitpos = decode_symbol(t0 + 2, cur, nxt, bitpos)
+        dz, cur, nxt, bitpos = decode_symbol(t0 + 4, cur, nxt, bitpos)
+        px = px + dx
+        py = py + dy
+        pz = pz + dz
+        out_ref[0, i, 0] = px
+        out_ref[0, i, 1] = py
+        out_ref[0, i, 2] = pz
+        return cur, nxt, bitpos, px, py, pz
+
+    bitpos0 = jnp.zeros((G, LANES), _I)
+    init = (
+        cur0,
+        nxt0,
+        bitpos0,
+        start_ref[0, 0],
+        start_ref[0, 1],
+        start_ref[0, 2],
+    )
+    jax.lax.fori_loop(0, POINTS_PER_THREAD, point_step, init)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
+    """lj (B,1,16) i32, streams (B,8,MAXW) u32, ptrs (B,384,8) i32,
+    dD (B,128) i32, lut (B,128) i32, starts (B,3,8,128) i32
+    -> (B, 64, 3, 8, 128) i32 absolute coords."""
+    B = streams.shape[0]
+    maxw = streams.shape[2]
+    grid = (B,)
+
+    def row_block(*shape):
+        return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape))
+
+    return pl.pallas_call(
+        _decode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, maxw), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 384, G), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 3, G, LANES), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, POINTS_PER_THREAD, 3, G, LANES), lambda b: (b, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, POINTS_PER_THREAD, 3, G, LANES), jnp.int32
+        ),
+        interpret=interpret,
+    )(lj, streams, ptrs, dD, lut, starts)
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing of NativeBatch objects into kernel inputs
+# ---------------------------------------------------------------------------
+
+
+def pack_native_batches(batches, maxw: int | None = None):
+    """[NativeBatch] -> dict of kernel input arrays (NumPy)."""
+    from ..codec.native import NativeBatch  # noqa: F401
+
+    B = len(batches)
+    if maxw is None:
+        maxw = max(max(len(s) for s in nb.streams) for nb in batches)
+        maxw = ((maxw + LANES - 1) // LANES + 1) * LANES + LANES
+    lj = np.zeros((B, 1, 16), np.int32)
+    streams = np.zeros((B, G, maxw), np.uint32)
+    ptrs = np.zeros((B, 384, G), np.int32)
+    dD = np.zeros((B, 1, 128), np.int32)
+    lut = np.zeros((B, 1, 128), np.int32)
+    starts = np.zeros((B, 3, G, LANES), np.int32)
+
+    for i, nb in enumerate(batches):
+        lj_limit, base_idx, first_code = nb.code.decode_tables()
+        lj[i, 0, :MAXL] = lj_limit
+        dD[i, 0, 1 : MAXL + 1] = base_idx - first_code
+        lut[i, 0, : len(nb.code.symbols)] = nb.code.symbols
+        for g in range(G):
+            s = nb.streams[g]
+            streams[i, g, : len(s)] = s
+        ptrs[i] = compute_round_ptrs(nb)
+        sv = nb.start_values.reshape(G, LANES, 3)
+        starts[i] = np.transpose(sv, (2, 0, 1))
+    return dict(lj=lj, streams=streams, ptrs=ptrs, dD=dD, lut=lut, starts=starts)
+
+
+def compute_round_ptrs(nb) -> np.ndarray:
+    """(384, 8) i32: VMEM window base pointer per round per group.
+
+    Replays the encoder's protocol simulation (native.py
+    _interleave_group) to recover cumulative word consumption.
+    """
+    enc_table = nb.code.encode_table()
+    ptrs = np.zeros((384, G), np.int32)
+    for g in range(G):
+        stream = nb.streams[g]
+        # replay: we need per-round counts; recover them by decoding the
+        # consume schedule from the stream itself via the numpy decoder
+        ptrs[:, g] = _round_ptrs_from_stream(stream, nb.code)
+    return ptrs
+
+
+def _round_ptrs_from_stream(stream, code) -> np.ndarray:
+    """Decode the group stream once on the host to extract the per-round
+    window pointers (cumulative consumed words)."""
+    from ..codec.native import GROUP, MAXL as _MAXL, SYMS_PER_LANE
+
+    lj_limit, base_idx, first_code = code.decode_tables()
+    lut = code.symbols
+    s = np.concatenate([stream.astype(np.uint64), np.zeros(2 * GROUP, np.uint64)])
+    cur = s[np.arange(GROUP)].copy()
+    nxt = s[GROUP + np.arange(GROUP)].copy()
+    bitpos = np.zeros(GROUP, np.int64)
+    already = 2 * GROUP
+    out = np.zeros(2 * SYMS_PER_LANE, np.int32)
+
+    def peek(n):
+        w64 = (cur << np.uint64(32)) | nxt
+        sh = (64 - bitpos - n).astype(np.uint64)
+        return (w64 >> sh) & ((np.uint64(1) << n.astype(np.uint64)) - np.uint64(1))
+
+    t = 0
+    for i in range(SYMS_PER_LANE):
+        win = peek(np.full(GROUP, _MAXL, np.int64)).astype(np.int64)
+        L = 1 + np.sum(win[:, None] >= lj_limit[None, :-1], axis=1)
+        sym_idx = base_idx[L - 1] + (win >> (_MAXL - L)) - first_code[L - 1]
+        bucket = lut[sym_idx]
+        for phase, consumed in ((0, L), (1, np.maximum(bucket - 1, 0))):
+            bitpos += consumed
+            need = bitpos >= 32
+            bitpos = np.where(need, bitpos - 32, bitpos)
+            out[t] = already
+            rank = np.cumsum(need) - need
+            w = s[np.minimum(already + rank, len(s) - 1)]
+            cur[:] = np.where(need, nxt, cur)
+            nxt[:] = np.where(need, w, nxt)
+            already += int(need.sum())
+            t += 1
+    # the extras' *values* are never needed for pointer recovery — only
+    # their bit counts, which `consumed` already accounts for.
+    return out
