@@ -157,6 +157,9 @@ class NativeBatch:
     start_values: np.ndarray  # (1024, 3) i32
     bbox_min_i: np.ndarray
     bbox_max_i: np.ndarray
+    # (384, 8) i32 per-round window pointers (cumulative words consumed),
+    # emitted by the interleave simulation for the kernel's refill loads
+    round_ptrs: np.ndarray | None = None
 
     @property
     def total_words(self) -> int:
@@ -207,6 +210,7 @@ def encode_native_batch(x, y, z) -> NativeBatch:
     enc_table = code.encode_table()
 
     streams = []
+    round_ptrs = np.zeros((2 * SYMS_PER_LANE, TPU_GROUPS_PER_BATCH), np.int32)
     for g in range(TPU_GROUPS_PER_BATCH):
         lane_words = []
         lane_bits = []
@@ -215,7 +219,11 @@ def encode_native_batch(x, y, z) -> NativeBatch:
             w, bits = _lane_bitstream(buckets[li], extras[li], enc_table)
             lane_words.append(w)
             lane_bits.append(bits)
-        streams.append(_interleave_group(lane_words, lane_bits, buckets[g * GROUP:(g + 1) * GROUP], enc_table))
+        stream, ptrs = _interleave_group(
+            lane_words, lane_bits, buckets[g * GROUP : (g + 1) * GROUP], enc_table
+        )
+        streams.append(stream)
+        round_ptrs[:, g] = ptrs
 
     return NativeBatch(
         streams=streams,
@@ -223,6 +231,7 @@ def encode_native_batch(x, y, z) -> NativeBatch:
         start_values=starts.astype(np.int32),
         bbox_min_i=np.array([x.min(), y.min(), z.min()], np.int32),
         bbox_max_i=np.array([x.max(), y.max(), z.max()], np.int32),
+        round_ptrs=round_ptrs,
     )
 
 
@@ -241,10 +250,14 @@ def _interleave_group(lane_words, lane_bits, buckets, enc_table):
     out = [lane_words[l][0] for l in range(G)] + [
         lane_words[l][1] if n_words[l] > 1 else 0 for l in range(G)
     ]
+    ptrs = np.zeros(2 * SYMS_PER_LANE, np.int32)
     bitpos = np.zeros(G, np.int64)
     widx = np.full(G, 2, np.int64)  # next word index to request per lane
+    t = 0
     for i in range(SYMS_PER_LANE):
         for r in range(2):
+            ptrs[t] = len(out)
+            t += 1
             bitpos += consumes[:, i, r]
             need = bitpos >= 32
             for lane in np.nonzero(need)[0]:
@@ -252,7 +265,7 @@ def _interleave_group(lane_words, lane_bits, buckets, enc_table):
                 out.append(lane_words[lane][w] if w < n_words[lane] else 0)
                 widx[lane] += 1
             bitpos = np.where(need, bitpos - 32, bitpos)
-    return np.asarray(out, U32)
+    return np.asarray(out, U32), ptrs
 
 
 def decode_native_group(stream, code: CanonicalCode, num_symbols=SYMS_PER_LANE):

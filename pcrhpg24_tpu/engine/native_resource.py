@@ -1,0 +1,130 @@
+"""Streaming `.tpc` (TPU-native) scene resource.
+
+Same state machine and streaming scheme as HuffmanLasData (see
+resource.py), but the device layout feeds the Pallas tbatch decoder:
+per-batch dense rows (streams padded to the scene's max group width,
+canonical-code tables, round pointers, start values, BC1 colors).
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Empty, Queue
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    RENDER_CHUNK_BATCHES,
+    TPU_GROUPS_PER_BATCH,
+    TPU_MAX_CODE_LEN,
+    WORKGROUP_SIZE,
+)
+from ..formats.native_file import read_tpc_batch, read_tpc_header
+from .resource import Resource, ResourceState, _upload_rows
+
+G = TPU_GROUPS_PER_BATCH
+MAXL = TPU_MAX_CODE_LEN
+
+
+class NativeLasData(Resource):
+    BATCHES_PER_TASK = 100
+
+    def __init__(self, path: str):
+        self.path = path
+        self.header = read_tpc_header(path)
+        self.num_points = self.header.num_points
+        self.num_batches = self.header.num_batches
+        self.num_batches_loaded = 0
+        self.num_points_loaded = 0
+        self.maxw = ((self.header.max_group_words + 127) // 128 + 2) * 128
+        self.dev: dict[str, jax.Array] = {}
+        self.scale = np.asarray(self.header.scale)
+        self.offset = np.asarray(self.header.offset)
+        self.las_min = np.asarray(self.header.las_min)
+        self.bbox_min = np.zeros((self.num_batches, 3), np.float32)
+        self.bbox_max = np.zeros((self.num_batches, 3), np.float32)
+        self._queue: Queue = Queue()
+        self._thread = None
+        self._abort = threading.Event()
+
+    @classmethod
+    def create(cls, path: str) -> "NativeLasData":
+        return cls(path)
+
+    def load(self, renderer=None):
+        if self.state != ResourceState.UNLOADED:
+            return
+        self.state = ResourceState.LOADING
+        B = -(-self.num_batches // RENDER_CHUNK_BATCHES) * RENDER_CHUNK_BATCHES
+        self.dev = dict(
+            lj=jnp.zeros((B, 1, 16), jnp.int32),
+            streams=jnp.zeros((B, G, self.maxw), jnp.uint32),
+            ptrs=jnp.zeros((B, 384, G), jnp.int32),
+            dD=jnp.zeros((B, 1, 128), jnp.int32),
+            lut=jnp.zeros((B, 1, 128), jnp.int32),
+            starts=jnp.zeros((B, 3, G, 128), jnp.int32),
+            colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+        )
+        self._abort.clear()
+        self._thread = threading.Thread(target=self._loader_main, daemon=True)
+        self._thread.start()
+
+    def _loader_main(self):
+        try:
+            for start in range(0, self.num_batches, self.BATCHES_PER_TASK):
+                if self._abort.is_set():
+                    return
+                end = min(start + self.BATCHES_PER_TASK, self.num_batches)
+                items = [read_tpc_batch(self.path, self.header, i) for i in range(start, end)]
+                self._queue.put((start, items))
+        except Exception as e:
+            self._queue.put(("error", e))
+
+    def unload(self, renderer=None):
+        self.state = ResourceState.UNLOADING
+        self._abort.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self.dev = {}
+        self.num_batches_loaded = 0
+        self.num_points_loaded = 0
+        self.state = ResourceState.UNLOADED
+
+    def process(self, renderer=None, max_tasks: int = 8):
+        from ..render.pallas_decode import pack_native_batches
+
+        for _ in range(max_tasks):
+            try:
+                item = self._queue.get_nowait()
+            except Empty:
+                break
+            if item[0] == "error":
+                raise item[1]
+            start, items = item
+            nbs = [nb for nb, _c in items]
+            packed = pack_native_batches(nbs, maxw=self.maxw)
+            d = self.dev
+            for key in ("lj", "streams", "ptrs", "dD", "lut", "starts"):
+                d[key] = _upload_rows(d[key], start, jnp.asarray(packed[key]))
+            colors = np.stack([c for _nb, c in items]).astype(np.uint32)
+            d["colors"] = _upload_rows(d["colors"], start, jnp.asarray(colors))
+            for i, (nb, _c) in enumerate(items):
+                bmin = nb.bbox_min_i.astype(np.float64) * self.scale + self.offset
+                bmax = nb.bbox_max_i.astype(np.float64) * self.scale + self.offset
+                self.bbox_min[start + i] = bmin.astype(np.float32)
+                self.bbox_max[start + i] = bmax.astype(np.float32)
+            self.num_batches_loaded = max(self.num_batches_loaded, start + len(items))
+            self.num_points_loaded = self.num_batches_loaded * WORKGROUP_SIZE * 64
+        if self.num_batches_loaded == self.num_batches:
+            self.state = ResourceState.LOADED
+
+    def wait_loaded(self, renderer=None):
+        import time
+
+        self.load(renderer)
+        while self.state != ResourceState.LOADED:
+            self.process(renderer, max_tasks=1_000_000)
+            time.sleep(0.01)
+        return self

@@ -1,0 +1,161 @@
+"""`.tpc` — the TPU-native scene file format.
+
+Same role as the reference's `.huffman` container (include/BatchDumpData.h)
+but carrying tbatch streams (codec/native.py).  Layout:
+
+  file  = magic 'TPC1' | i64 num_points | i64 num_batches | i64 max_group_words
+        | 3 x f64 scale | 3 x f64 offset | 3 x f64 las_min | 3 x f64 las_max
+        | i64 blob_size[num_batches] | blob[num_batches]
+  blob  = i32 bbox_min[3] | i32 bbox_max[3]
+        | i32 n_code_symbols | i32 length_counts[13]
+        | i32 symbols[n_code_symbols]
+        | i32 group_len[8]
+        | i32 round_ptrs[384*8]
+        | i32 start_values[1024*3]
+        | u32 stream[sum(group_len)]
+        | u32 color_bc1[num_points/8]
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..codec.native import CanonicalCode, NativeBatch, encode_native_batch
+from ..constants import (
+    POINTS_PER_WORKGROUP,
+    TPU_GROUPS_PER_BATCH,
+    WORKGROUP_SIZE,
+)
+
+MAGIC = b"TPC1"
+
+
+def batch_to_blob(nb: NativeBatch, color_bc1: np.ndarray) -> bytes:
+    parts = [
+        np.asarray(nb.bbox_min_i, np.int32).tobytes(),
+        np.asarray(nb.bbox_max_i, np.int32).tobytes(),
+        struct.pack("<i", len(nb.code.symbols)),
+        np.asarray(nb.code.length_counts, np.int32).tobytes(),
+        np.asarray(nb.code.symbols, np.int32).tobytes(),
+        np.asarray([len(s) for s in nb.streams], np.int32).tobytes(),
+        np.asarray(nb.round_ptrs, np.int32).tobytes(),
+        np.asarray(nb.start_values, np.int32).tobytes(),
+        np.concatenate([s.astype(np.uint32) for s in nb.streams]).tobytes(),
+        np.asarray(color_bc1, np.uint32).tobytes(),
+    ]
+    return b"".join(parts)
+
+
+def blob_to_batch(buf: bytes) -> tuple[NativeBatch, np.ndarray]:
+    off = 0
+
+    def take(n, dtype):
+        nonlocal off
+        a = np.frombuffer(buf, dtype, count=n, offset=off)
+        off += 4 * n
+        return a
+
+    bbox_min = take(3, np.int32)
+    bbox_max = take(3, np.int32)
+    (nsym,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    length_counts = take(13, np.int32).astype(np.int64)
+    symbols = take(nsym, np.int32).astype(np.int64)
+    group_len = take(TPU_GROUPS_PER_BATCH, np.int32)
+    round_ptrs = take(384 * TPU_GROUPS_PER_BATCH, np.int32).reshape(384, TPU_GROUPS_PER_BATCH)
+    start_values = take(WORKGROUP_SIZE * 3, np.int32).reshape(WORKGROUP_SIZE, 3)
+    streams = []
+    for g in range(TPU_GROUPS_PER_BATCH):
+        streams.append(take(int(group_len[g]), np.uint32))
+    color = take(POINTS_PER_WORKGROUP // 8, np.uint32)
+    assert off == len(buf), f"tpc blob size mismatch {off} != {len(buf)}"
+
+    lengths = np.repeat(np.arange(13), length_counts)
+    code = CanonicalCode(length_counts, symbols, lengths.astype(np.int64))
+    nb = NativeBatch(
+        streams=streams,
+        code=code,
+        start_values=start_values,
+        bbox_min_i=bbox_min,
+        bbox_max_i=bbox_max,
+        round_ptrs=round_ptrs,
+    )
+    return nb, color
+
+
+class TpcHeader:
+    def __init__(self, num_points, num_batches, max_group_words, scale, offset,
+                 las_min, las_max, batch_sizes, batch_offsets):
+        self.num_points = num_points
+        self.num_batches = num_batches
+        self.max_group_words = max_group_words
+        self.scale = scale
+        self.offset = offset
+        self.las_min = las_min
+        self.las_max = las_max
+        self.batch_sizes = batch_sizes
+        self.batch_offsets = batch_offsets
+
+
+def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
+    blobs = [batch_to_blob(nb, c) for nb, c in zip(batches, colors)]
+    num_points = len(batches) * POINTS_PER_WORKGROUP
+    max_group_words = max(max(len(s_) for s_ in nb.streams) for nb in batches)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(np.asarray([num_points, len(batches), max_group_words], np.int64).tobytes())
+        for v in (scale, offset, las_min, las_max):
+            f.write(np.asarray(v, np.float64).tobytes())
+        f.write(np.asarray([len(b) for b in blobs], np.int64).tobytes())
+        for b in blobs:
+            f.write(b)
+
+
+def read_tpc_header(path) -> TpcHeader:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        assert magic == MAGIC, f"not a TPC file: {magic!r}"
+        num_points, num_batches, max_gw = np.frombuffer(f.read(24), np.int64)
+        vals = np.frombuffer(f.read(8 * 12), np.float64)
+        sizes = np.frombuffer(f.read(8 * num_batches), np.int64)
+    base = 4 + 24 + 96 + 8 * num_batches
+    offsets = base + np.concatenate([[0], np.cumsum(sizes[:-1])])
+    return TpcHeader(
+        int(num_points), int(num_batches), int(max_gw), vals[0:3], vals[3:6],
+        vals[6:9], vals[9:12], sizes, offsets,
+    )
+
+
+def read_tpc_batch(path, header: TpcHeader, index: int):
+    with open(path, "rb") as f:
+        f.seek(int(header.batch_offsets[index]))
+        return blob_to_batch(f.read(int(header.batch_sizes[index])))
+
+
+def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True):
+    """Reference `.huffman` -> `.tpc`: decode each batch with the CPU
+    codec and re-encode in the TPU-native layout (decoded coordinates
+    are bit-identical; colors are passed through unchanged)."""
+    from ..codec.batch_codec import decode_batch, deltas_to_coords
+    from ..formats.huffman_file import read_batch, read_file_header
+
+    hdr = read_file_header(huffman_path)
+    batches, colors = [], []
+    scale = offset = las_min = las_max = None
+    for i in range(hdr.num_batches):
+        b = read_batch(huffman_path, hdr, i)
+        deltas = decode_batch(
+            b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
+            b.decoder_values, b.decoder_cw_len,
+        )
+        coords = deltas_to_coords(deltas, b.start_values)
+        batches.append(encode_native_batch(coords[:, 0], coords[:, 1], coords[:, 2]))
+        colors.append(np.asarray(b.color, np.uint32))
+        scale, offset = b.las_scale, b.las_offset
+        las_min, las_max = b.las_min, b.las_max
+        if verbose and i % 50 == 0:
+            print(f"transcode {i}/{hdr.num_batches}")
+    write_tpc(tpc_path, batches, colors, scale, offset, las_min, las_max)
+    return tpc_path

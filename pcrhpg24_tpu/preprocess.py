@@ -120,6 +120,47 @@ def preprocess_las(las_path: str, out_path: str, sort: bool = True, verbose=True
     return out_path
 
 
+def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True, verbose=True):
+    """LAS -> `.tpc` (TPU-native tbatch format)."""
+    from .codec.native import encode_native_batch
+    from .formats.native_file import write_tpc
+
+    header = read_header(las_path)
+    n_total = header.num_points
+    batches, colors = [], []
+    for start in range(0, n_total, MAX_POINTS_PER_BATCH):
+        count = min(MAX_POINTS_PER_BATCH, n_total - start)
+        pts = read_points(las_path, start, count)
+        x, y, z, color = pts.x, pts.y, pts.z, pts.color
+        pad = (-len(x)) % POINTS_PER_WORKGROUP
+        if pad:
+            x = np.concatenate([x, np.full(pad, x[-1], x.dtype)])
+            y = np.concatenate([y, np.full(pad, y[-1], y.dtype)])
+            z = np.concatenate([z, np.full(pad, z[-1], z.dtype)])
+            color = np.concatenate([color, np.full(pad, color[-1], color.dtype)])
+        if sort:
+            order = morton_order(x, y, z)
+            x, y, z, color = x[order], y[order], z[order], color[order]
+        for s in range(0, len(x), POINTS_PER_WORKGROUP):
+            sl = slice(s, s + POINTS_PER_WORKGROUP)
+            batches.append(encode_native_batch(x[sl], y[sl], z[sl]))
+            colors.append(encode_bc1(color[sl]))
+        if verbose:
+            print(f"tpc chunk {start // MAX_POINTS_PER_BATCH}: {len(batches)} batches")
+    write_tpc(
+        out_path, batches, colors, header.scale, header.offset,
+        header.cmin, header.cmax,
+    )
+    if verbose:
+        total_words = sum(nb.total_words for nb in batches)
+        n = len(batches) * POINTS_PER_WORKGROUP
+        geo = 4 * total_words + (12 + 4 * 384 * 8 // 1024) * WORKGROUP_SIZE * len(batches)
+        print(f"Number of Points: {n}")
+        print(f"Number of Batches: {len(batches)}")
+        print(f"Geometry Compression Ratio: {12.0 * n / geo:.3f}")
+    return out_path
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     if len(argv) < 2:
@@ -127,7 +168,10 @@ def main(argv=None):
         return 1
     las_path, out_path = argv[0], argv[1]
     sort = bool(int(argv[2])) if len(argv) > 2 else True
-    preprocess_las(las_path, out_path, sort)
+    if out_path.endswith(".tpc"):
+        preprocess_las_tpc(las_path, out_path, sort)
+    else:
+        preprocess_las(las_path, out_path, sort)
     return 0
 
 

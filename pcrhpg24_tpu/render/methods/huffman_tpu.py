@@ -1,0 +1,158 @@
+"""`huffman_tpu` — flagship fused decode + rasterize on the native format.
+
+Same per-frame behavior as `huffman_mem_iter` (frustum cull, LOD,
+decode every visible batch, exact depth-test raster — reference:
+modules/huffman_mem_iter_cuda/), but geometry decodes through the
+Pallas tbatch kernel (render/pallas_decode.py) instead of the
+gather-bound XLA path.  This is the performance method for TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import POINTS_PER_THREAD, RENDER_CHUNK_BATCHES
+from ...engine.debug import Debug
+from ...engine.method import Runtime
+from ..bc1_jax import decode_bc1_payload
+from ..native_decode_xla import decode_native_xla
+from ..pallas_decode import decode_native_batches
+from ..raster import EMPTY, resolve
+from .huffman_mem_iter import HuffmanMemIter, _slice_rows
+
+CHUNK = RENDER_CHUNK_BATCHES
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "mode", "use_pallas"),
+    donate_argnums=(9, 10),
+)
+def render_chunk_native(
+    dev, chunk_start, transform, lod_n, scale, offset_rel,
+    width: int, height: int, mode: str, fb_d, fb_p, use_pallas: bool = True,
+):
+    C = CHUNK
+    decode = decode_native_batches if use_pallas else decode_native_xla
+    coords = decode(
+        _slice_rows(dev["lj"], chunk_start, C),
+        _slice_rows(dev["streams"], chunk_start, C),
+        _slice_rows(dev["ptrs"], chunk_start, C),
+        _slice_rows(dev["dD"], chunk_start, C),
+        _slice_rows(dev["lut"], chunk_start, C),
+        _slice_rows(dev["starts"], chunk_start, C),
+    )  # (C, 64, 3, 8, 128) i32
+    colors = _slice_rows(dev["colors"], chunk_start, C)
+    n_chunk = _slice_rows(lod_n, chunk_start, C)
+
+    # positions componentwise in the kernel's native layout (C,64,8,128)
+    xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
+    ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
+    zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
+
+    t = transform.astype(jnp.float32)
+    cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
+    cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
+    w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
+
+    ndc_x = cx / w
+    ndc_y = cy / w
+    shp = xs.shape  # (C, 64, 8, 128)
+    pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
+    mask = jnp.broadcast_to(
+        pt_idx[None, :, None, None] < n_chunk[:, None, None, None], shp
+    )
+    ok = mask & (w > 0) & (jnp.abs(ndc_x) <= 1) & (jnp.abs(ndc_y) <= 1)
+    px = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
+    py = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
+    ok &= (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    size = width * height
+    pid = jnp.where(ok, px + py * width, size)
+    depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
+
+    if mode == "colorize_chunks":
+        payload = jnp.broadcast_to(
+            (chunk_start + jnp.arange(C)).astype(jnp.uint32)[:, None, None, None], shp
+        )
+    elif mode == "show_num_points":
+        payload = jnp.broadcast_to(
+            n_chunk.astype(jnp.uint32)[:, None, None, None], shp
+        )
+    else:
+        # local point id within batch: (g*128 + lane)*64 + i
+        g_i = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        l_i = jax.lax.broadcasted_iota(jnp.int32, shp, 3)
+        local = (g_i * 128 + l_i) * POINTS_PER_THREAD + pt_idx[None, :, None, None]
+        payload = decode_bc1_payload(
+            colors[:, None, None, :], local
+        ).astype(jnp.uint32)
+
+    pid = pid.reshape(-1)
+    depth = depth.reshape(-1)
+    payload = payload.reshape(-1)
+    ok = ok.reshape(-1)
+
+    cd = jnp.full((size,), EMPTY, jnp.uint32).at[pid].min(depth, mode="drop")
+    winner = ok & (depth == cd[jnp.clip(pid, 0, size - 1)])
+    pid2 = jnp.where(winner, pid, size)
+    cp = jnp.full((size,), EMPTY, jnp.uint32).at[pid2].min(payload, mode="drop")
+
+    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
+    fb_d = jnp.where(better, cd, fb_d)
+    fb_p = jnp.where(better, cp, fb_p)
+    return fb_d, fb_p
+
+
+class HuffmanTpu(HuffmanMemIter):
+    """Flagship native-format method (Pallas decode path)."""
+
+    def __init__(self, renderer, tpc):
+        self.name = "huffman_tpu"
+        self.description = "fused tbatch Pallas decode + rasterize"
+        self.group = "huffman"
+        self.las = tpc
+        self.renderer = renderer
+
+    def render(self, renderer):
+        las = self.las
+        las.process(renderer)
+        W, H = renderer.width, renderer.height
+        fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+        fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+        B = las.num_batches_loaded
+        if B == 0:
+            return resolve(fb_p, W, H)
+
+        wvp, lod_full = self.frame_setup(renderer)
+        lod_dev = jnp.asarray(lod_full)
+        mode = (
+            "colorize_chunks"
+            if Debug.colorize_chunks
+            else "show_num_points" if Debug.show_num_points else "color"
+        )
+        scale = jnp.asarray(las.scale, jnp.float32)
+        offset_rel = jnp.asarray(las.offset - las.las_min, jnp.float32)
+        t = jnp.asarray(wvp)
+
+        for c in range((B + CHUNK - 1) // CHUNK):
+            fb_d, fb_p = render_chunk_native(
+                las.dev, c * CHUNK, t, lod_dev, scale, offset_rel,
+                W, H, mode, fb_d, fb_p,
+                use_pallas=jax.default_backend() == "tpu",
+            )
+        renderer.last_fb = (fb_d, fb_p)
+        if mode == "colorize_chunks":
+            return jnp.where(
+                fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)
+            ).reshape(H, W)
+        if mode == "show_num_points":
+            shade = jnp.clip(
+                (fb_p.astype(jnp.float32) / 64.0) * 255.0, 0, 255
+            ).astype(jnp.uint32)
+            gray = shade | (shade << 8) | (shade << 16)
+            return jnp.where(fb_p != EMPTY, gray, jnp.uint32(0x00443322)).reshape(H, W)
+        return resolve(fb_p, W, H)

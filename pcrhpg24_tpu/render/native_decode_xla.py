@@ -1,0 +1,92 @@
+"""Portable XLA decoder for the tbatch native format.
+
+Protocol-identical to the Pallas kernel (pallas_decode.py) and the NumPy
+mirror (codec/native.py): used as the CPU/testing fallback and as a
+cross-check of the kernel.  Gathers go through `jnp.take`, so this path
+is correct everywhere but not fast on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import POINTS_PER_THREAD, TPU_GROUPS_PER_BATCH, TPU_MAX_CODE_LEN
+
+G = TPU_GROUPS_PER_BATCH
+MAXL = TPU_MAX_CODE_LEN
+_U = jnp.uint32
+_I = jnp.int32
+
+
+def decode_native_xla(lj, streams, ptrs, dD, lut, starts):
+    """Same signature/layout as pallas_decode.decode_native_batches."""
+    B, _, maxw = streams.shape
+    flat = streams.reshape(-1)  # (B*G*maxw,)
+    lane = jnp.arange(128)
+
+    cur = streams[:, :, 0:128]
+    nxt = streams[:, :, 128:256]
+    bitpos = jnp.zeros((B, G, 128), _I)
+
+    dD_flat = dD.reshape(B, 128)
+    lut_flat = lut.reshape(B, 128)
+    b_idx = jnp.arange(B)[:, None, None]
+
+    def window_hi(cur, nxt, bitpos):
+        hi = cur << bitpos.astype(_U)
+        lo = nxt >> jnp.minimum(32 - bitpos, 31).astype(_U)
+        return hi | jnp.where(bitpos > 0, lo, _U(0))
+
+    def refill(t, cur, nxt, bitpos):
+        need = bitpos >= 32
+        bitpos = jnp.where(need, bitpos - 32, bitpos)
+        rank = jnp.cumsum(need, axis=2) - need
+        ptr_t = jax.lax.dynamic_index_in_dim(ptrs, t, axis=1, keepdims=False)  # (B,G)
+        base = (jnp.arange(B)[:, None] * G + jnp.arange(G)[None, :]) * maxw  # (B,G)
+        idx = base[:, :, None] + ptr_t[:, :, None] + rank
+        val = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
+        cur = jnp.where(need, nxt, cur)
+        nxt = jnp.where(need, val, nxt)
+        return cur, nxt, bitpos
+
+    def decode_symbol(t, cur, nxt, bitpos):
+        win12 = (window_hi(cur, nxt, bitpos) >> _U(32 - MAXL)).astype(_I)
+        L = jnp.ones_like(win12)
+        for j in range(1, MAXL):
+            L = L + (win12 >= lj[:, 0, j - 1][:, None, None]).astype(_I)
+        code_L = win12 >> jnp.minimum(MAXL - L, MAXL)
+        dd = jnp.take_along_axis(dD_flat, L.reshape(B, -1), axis=1).reshape(L.shape)
+        sym_idx = jnp.clip(code_L + dd, 0, 127)
+        bucket = jnp.take_along_axis(
+            lut_flat, sym_idx.reshape(B, -1), axis=1
+        ).reshape(L.shape)
+        bitpos = bitpos + L
+        cur, nxt, bitpos = refill(t, cur, nxt, bitpos)
+
+        e = jnp.maximum(bucket - 1, 0)
+        win2 = window_hi(cur, nxt, bitpos)
+        extra = (win2 >> (_U(31) - e.astype(_U))) >> _U(1)
+        extra = extra & ((_U(1) << e.astype(_U)) - _U(1))
+        bitpos = bitpos + e
+        cur, nxt, bitpos = refill(t + 1, cur, nxt, bitpos)
+
+        z = jnp.where(bucket == 0, _U(0), (_U(1) << e.astype(_U)) | extra)
+        delta = (z >> _U(1)).astype(_I) ^ -((z & _U(1)).astype(_I))
+        return delta, cur, nxt, bitpos
+
+    def point_step(carry, i):
+        cur, nxt, bitpos, px, py, pz = carry
+        t0 = i * 6
+        dx, cur, nxt, bitpos = decode_symbol(t0, cur, nxt, bitpos)
+        dy, cur, nxt, bitpos = decode_symbol(t0 + 2, cur, nxt, bitpos)
+        dz, cur, nxt, bitpos = decode_symbol(t0 + 4, cur, nxt, bitpos)
+        px, py, pz = px + dx, py + dy, pz + dz
+        return (cur, nxt, bitpos, px, py, pz), jnp.stack([px, py, pz], axis=1)
+
+    init = (cur, nxt, bitpos, starts[:, 0], starts[:, 1], starts[:, 2])
+    _, ys = jax.lax.scan(point_step, init, jnp.arange(POINTS_PER_THREAD))
+    # ys: (64, B, 3, G, 128) -> (B, 64, 3, G, 128)
+    return jnp.transpose(ys, (1, 0, 2, 3, 4))

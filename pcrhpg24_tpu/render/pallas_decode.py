@@ -218,7 +218,7 @@ def pack_native_batches(batches, maxw: int | None = None):
         for g in range(G):
             s = nb.streams[g]
             streams[i, g, : len(s)] = s
-        ptrs[i] = compute_round_ptrs(nb)
+        ptrs[i] = nb.round_ptrs if nb.round_ptrs is not None else compute_round_ptrs(nb)
         sv = nb.start_values.reshape(G, LANES, 3)
         starts[i] = np.transpose(sv, (2, 0, 1))
     return dict(lj=lj, streams=streams, ptrs=ptrs, dD=dD, lut=lut, starts=starts)

@@ -1,0 +1,96 @@
+"""Native .tpc pipeline: preprocess -> file -> loader -> method == flagship."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcrhpg24_tpu.engine.debug import Debug
+from pcrhpg24_tpu.engine.native_resource import NativeLasData
+from pcrhpg24_tpu.engine.renderer import Renderer, Setting
+from pcrhpg24_tpu.engine.resource import HuffmanLasData
+from pcrhpg24_tpu.formats.las import write_las
+from pcrhpg24_tpu.formats.native_file import (
+    read_tpc_batch,
+    read_tpc_header,
+    transcode_huffman_to_tpc,
+)
+from pcrhpg24_tpu.preprocess import preprocess_las, preprocess_las_tpc
+from pcrhpg24_tpu.codec.native import decode_native_batch
+from pcrhpg24_tpu.render.methods.huffman_mem_iter import HuffmanMemIter
+from pcrhpg24_tpu.render.methods.huffman_tpu import HuffmanTpu
+from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
+
+W, H = 256, 144
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    xyz, rgb = terrain_cloud(150_000, seed=21, extent=900.0)
+    grid = cloud_to_grid(xyz)
+    d = tmp_path_factory.mktemp("tpc")
+    las = str(d / "s.las")
+    huf = str(d / "s.huffman")
+    tpc = str(d / "s.tpc")
+    write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+    preprocess_las(las, huf, sort=True, verbose=False)
+    preprocess_las_tpc(las, tpc, sort=True, verbose=False)
+    return las, huf, tpc
+
+
+def test_tpc_file_roundtrip(paths):
+    _las, _huf, tpc = paths
+    hdr = read_tpc_header(tpc)
+    assert hdr.num_batches == 3
+    nb, color = read_tpc_batch(tpc, hdr, 1)
+    coords = decode_native_batch(nb)  # must decode without error
+    assert coords.shape == (65536, 3)
+    assert len(color) == 65536 // 8
+
+
+def test_transcode_matches_direct(paths):
+    las, huf, tpc = paths
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        tpc2 = os.path.join(d, "t.tpc")
+        transcode_huffman_to_tpc(huf, tpc2, verbose=False)
+        h1 = read_tpc_header(tpc)
+        h2 = read_tpc_header(tpc2)
+        assert h1.num_batches == h2.num_batches
+        for i in range(h1.num_batches):
+            a, ca = read_tpc_batch(tpc, h1, i)
+            b, cb = read_tpc_batch(tpc2, h2, i)
+            np.testing.assert_array_equal(
+                decode_native_batch(a), decode_native_batch(b)
+            )
+            np.testing.assert_array_equal(ca, cb)
+
+
+def test_native_method_matches_reference_method(paths):
+    """huffman_tpu must produce the same framebuffer as huffman_mem_iter."""
+    _las, huf, tpc = paths
+    Debug.lod = 1.0
+
+    def run(method_cls, data_cls, path):
+        r = Renderer(W, H)
+        r.apply_setting(
+            Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
+        )
+        data = data_cls.create(path)
+        m = method_cls(r, data)
+        m.update(r)
+        data.wait_loaded(r)
+        img = np.asarray(r.loop(m.update, m.render, frames=1))
+        fb = tuple(np.asarray(a) for a in r.last_fb)
+        data.unload(r)
+        return img, fb
+
+    img_ref, fb_ref = run(HuffmanMemIter, HuffmanLasData, huf)
+    from pcrhpg24_tpu.engine.method import Runtime
+
+    Runtime.resource = None
+    img_tpu, fb_tpu = run(HuffmanTpu, NativeLasData, tpc)
+
+    np.testing.assert_array_equal(fb_tpu[0], fb_ref[0])
+    np.testing.assert_array_equal(fb_tpu[1], fb_ref[1])
+    np.testing.assert_array_equal(img_tpu, img_ref)
