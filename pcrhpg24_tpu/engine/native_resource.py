@@ -113,8 +113,8 @@ class NativeLasData(Resource):
             for i, (nb, _c) in enumerate(items):
                 bmin = nb.bbox_min_i.astype(np.float64) * self.scale + self.offset
                 bmax = nb.bbox_max_i.astype(np.float64) * self.scale + self.offset
-                self.bbox_min[start + i] = bmin.astype(np.float32)
-                self.bbox_max[start + i] = bmax.astype(np.float32)
+                self.bbox_min[start + i] = (bmin - self.las_min).astype(np.float32)
+                self.bbox_max[start + i] = (bmax - self.las_min).astype(np.float32)
             self.num_batches_loaded = max(self.num_batches_loaded, start + len(items))
             self.num_points_loaded = self.num_batches_loaded * WORKGROUP_SIZE * 64
         if self.num_batches_loaded == self.num_batches:

@@ -214,8 +214,9 @@ class HuffmanLasData(Resource):
         )
 
         for i, dump in enumerate(dumps):
-            self.bbox_min[start + i] = dump.bbox_min
-            self.bbox_max[start + i] = dump.bbox_max
+            # render frame is world - las_min (render.cu:336-341)
+            self.bbox_min[start + i] = dump.bbox_min - self.las_min.astype(np.float32)
+            self.bbox_max[start + i] = dump.bbox_max - self.las_min.astype(np.float32)
         self._enc_cursor += len(enc)
         self._sep_cursor += len(sep)
         self.num_batches_loaded = max(self.num_batches_loaded, start + n)

@@ -158,8 +158,9 @@ class HuffmanMemIter(Method):
         wvp = (proj @ view).astype(np.float32)
         B = las.num_batches_loaded
 
-        bmin = las.bbox_min[:B] - las.las_min
-        bmax = las.bbox_max[:B] - las.las_min
+        # resource bboxes are stored in the render frame (world - las_min)
+        bmin = las.bbox_min[:B]
+        bmax = las.bbox_max[:B]
         if Debug.frustum_culling_enabled and Debug.update_frustum:
             planes = frustum_planes(proj @ view)
             vis = batches_in_frustum(planes, bmin, bmax)
