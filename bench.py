@@ -1,10 +1,12 @@
-"""Headline benchmark: fused Huffman decode + rasterize, points/sec @1080p.
+"""Headline benchmark: fused decode + rasterize, points/sec @1080p.
 
-Builds (once, cached under ./out/) a synthetic Morton-sorted `.huffman`
-scene, loads it fully to the device, then times full frames of the
-flagship method — frustum cull + LOD + decode of every visible batch +
-exact depth-test rasterize + resolve — exactly the reference's per-frame
-work (modules/huffman_mem_iter_cuda/).
+Builds (once, cached under ./out/) a synthetic Morton-sorted scene in
+the TPU-native `.tpc` format, loads it fully to the device, then times
+full frames of the flagship `huffman_tpu` method — frustum cull + LOD +
+Pallas decode of every visible batch + exact depth-test rasterize +
+resolve — the same per-frame work as the reference's flagship
+(modules/huffman_mem_iter_cuda/).  Set BENCH_METHOD=reference to bench
+the reference-format XLA path instead.
 
 Prints ONE JSON line.  Baseline: 2e9 points/sec (driver north star).
 """
@@ -19,6 +21,7 @@ import time
 import numpy as np
 
 BENCH_BATCHES = int(os.environ.get("BENCH_BATCHES", "64"))  # x65 536 pts
+BENCH_METHOD = os.environ.get("BENCH_METHOD", "native")
 WARMUP = 2
 FRAMES = 5
 W, H = 1920, 1080
@@ -26,7 +29,7 @@ W, H = 1920, 1080
 
 def build_scene(path: str, num_batches: int) -> str:
     from pcrhpg24_tpu.formats.las import write_las
-    from pcrhpg24_tpu.preprocess import preprocess_las
+    from pcrhpg24_tpu.preprocess import preprocess_las, preprocess_las_tpc
     from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
 
     las = path + ".las"
@@ -35,7 +38,10 @@ def build_scene(path: str, num_batches: int) -> str:
         xyz, rgb = terrain_cloud(n, seed=1, extent=2000.0)
         grid = cloud_to_grid(xyz, scale=(0.001, 0.001, 0.001))
         write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
-        preprocess_las(las, path, sort=True, verbose=False)
+        if path.endswith(".tpc"):
+            preprocess_las_tpc(las, path, sort=True, verbose=False)
+        else:
+            preprocess_las(las, path, sort=True, verbose=False)
         os.remove(las)
     return path
 
@@ -45,23 +51,31 @@ def main() -> int:
 
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
     from pcrhpg24_tpu.engine.debug import Debug
     from pcrhpg24_tpu.engine.renderer import Renderer, Setting
-    from pcrhpg24_tpu.engine.resource import HuffmanLasData
-    from pcrhpg24_tpu.render.methods.huffman_mem_iter import HuffmanMemIter
 
     os.makedirs("out", exist_ok=True)
-    scene = build_scene(f"out/bench_{BENCH_BATCHES}.huffman", BENCH_BATCHES)
+    if BENCH_METHOD == "native":
+        from pcrhpg24_tpu.engine.native_resource import NativeLasData as Data
+        from pcrhpg24_tpu.render.methods.huffman_tpu import HuffmanTpu as MethodCls
+
+        scene = build_scene(f"out/bench_{BENCH_BATCHES}.tpc", BENCH_BATCHES)
+    else:
+        from pcrhpg24_tpu.engine.resource import HuffmanLasData as Data
+        from pcrhpg24_tpu.render.methods.huffman_mem_iter import (
+            HuffmanMemIter as MethodCls,
+        )
+
+        scene = build_scene(f"out/bench_{BENCH_BATCHES}.huffman", BENCH_BATCHES)
 
     Debug.lod = 1.0  # decode + rasterize every point of every visible batch
-    las = HuffmanLasData.create(scene)
+    las = Data.create(scene)
     r = Renderer(W, H)
     r.apply_setting(
         Setting(yaw=0.5, pitch=-0.9, radius=2500.0, target=(1000.0, 1000.0, 100.0))
     )
-    m = HuffmanMemIter(r, las)
+    m = MethodCls(r, las)
     m.update(r)
     las.wait_loaded(r)
 
@@ -72,8 +86,10 @@ def main() -> int:
 
     t0 = time.perf_counter()
     img = r.loop(m.update, m.render, frames=FRAMES)
-    dt = (time.perf_counter() - t0) / FRAMES
     jax.block_until_ready(img)
+    # force full completion through the tunnel with a tiny fetch
+    _ = float(np.asarray(img[0, 0]))
+    dt = (time.perf_counter() - t0) / FRAMES
 
     pts_per_sec = pts_per_frame / dt
     result = {
@@ -85,6 +101,7 @@ def main() -> int:
             "frame_ms": round(dt * 1e3, 2),
             "points_per_frame": pts_per_frame,
             "batches": BENCH_BATCHES,
+            "method": BENCH_METHOD,
             "device": str(jax.devices()[0]),
         },
     }

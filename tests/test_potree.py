@@ -1,0 +1,94 @@
+"""Potree build -> parse -> stream -> render, with LOD cut behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcrhpg24_tpu.engine.debug import Debug
+from pcrhpg24_tpu.engine.method import Runtime
+from pcrhpg24_tpu.engine.potree_resource import PotreeData
+from pcrhpg24_tpu.engine.renderer import Renderer, Setting
+from pcrhpg24_tpu.formats.potree import (
+    build_potree,
+    parse_hierarchy,
+    read_metadata,
+    read_node_points,
+)
+from pcrhpg24_tpu.render.methods.loop_nodes import ComputeLoopNodes, ComputeLoopNodesHqs
+from pcrhpg24_tpu.utils.synthetic import terrain_cloud
+
+W, H = 192, 108
+BG = 0x00443322
+
+
+@pytest.fixture(scope="module")
+def potree_dir(tmp_path_factory):
+    xyz, rgb = terrain_cloud(120_000, seed=44, extent=500.0)
+    d = tmp_path_factory.mktemp("potree") / "cloud"
+    build_potree(str(d), xyz, rgb)
+    return str(d)
+
+
+def test_parse_roundtrip(potree_dir):
+    meta = read_metadata(potree_dir)
+    nodes = parse_hierarchy(potree_dir, meta)
+    assert meta.points == 120_000
+    total = sum(n.num_points for n in nodes)
+    assert total == 120_000
+    # multi-level octree with a real hierarchy
+    assert max(n.level for n in nodes) >= 2
+    # every node's points lie inside its bbox (loose epsilon for quantization)
+    for n in nodes[:10]:
+        world, rgba = read_node_points(potree_dir, meta, n)
+        if len(world) == 0:
+            continue
+        assert (world >= n.bbox_min - 1e-6).all()
+        assert (world <= n.bbox_max + 1e-6).all()
+
+
+def test_loop_nodes_renders(potree_dir):
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0, target=(250, 250, 100)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    img = np.asarray(r.loop(m.update, m.render, frames=1))
+    assert (img != BG).mean() > 0.03
+    p.unload(r)
+
+
+def test_lod_cut_reduces_nodes(potree_dir):
+    """Zoomed far out, small nodes must be culled by the 80 px cut."""
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=20000.0, target=(250, 250, 100)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    from pcrhpg24_tpu.render.methods.loop_nodes import node_levels
+
+    cam = r.camera
+    lvl = node_levels(
+        cam.view(), cam.proj(), p.bbox_min, p.bbox_max, W, H
+    )
+    assert (lvl >= 4).sum() > 0, "expected far-away nodes culled"
+    img = np.asarray(r.loop(m.update, m.render, frames=1))
+    assert img is not None
+    p.unload(r)
+
+
+def test_loop_nodes_hqs(potree_dir):
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0, target=(250, 250, 100)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodesHqs(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    img = np.asarray(r.loop(m.update, m.render, frames=1))
+    assert (img != BG).mean() > 0.03
+    p.unload(r)
