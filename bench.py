@@ -23,7 +23,7 @@ import numpy as np
 BENCH_BATCHES = int(os.environ.get("BENCH_BATCHES", "64"))  # x65 536 pts
 BENCH_METHOD = os.environ.get("BENCH_METHOD", "native")
 WARMUP = 2
-FRAMES = 5
+FRAMES = 10
 W, H = 1920, 1080
 
 
@@ -84,11 +84,18 @@ def main() -> int:
     _, lod_full = m.frame_setup(r)
     pts_per_frame = int(lod_full.astype(np.int64).sum() * 1024)
 
+    # pipelined throughput measurement: the axon tunnel adds ~150 ms of
+    # per-sync latency, so frames are dispatched back to back (camera
+    # animated so no two frames are identical) and synced once at the end
+    # — the same steady-state throughput an interactive loop achieves.
     t0 = time.perf_counter()
-    img = r.loop(m.update, m.render, frames=FRAMES)
-    jax.block_until_ready(img)
-    # force full completion through the tunnel with a tiny fetch
-    _ = float(np.asarray(img[0, 0]))
+    imgs = []
+    for _ in range(FRAMES):
+        r.controls.yaw += 0.003
+        img = r.loop(m.update, m.render, frames=1, block=False)
+        imgs.append(img)
+    jax.block_until_ready(imgs)
+    _ = float(np.asarray(imgs[-1][0, 0]))
     dt = (time.perf_counter() - t0) / FRAMES
 
     pts_per_sec = pts_per_frame / dt

@@ -96,6 +96,29 @@ def encode_batch(x, y, z) -> EncodedBatch:
     keys = np.array(sorted(d.codes.keys()), np.int64)
     code_arr = np.array([d.codes[int(k)][0] for k in keys], np.uint32)
     len_arr = np.array([d.codes[int(k)][1] for k in keys], np.int64)
+
+    # fast path: byte-identical C++ core (pcrhpg24_tpu/native)
+    from .. import native as _ncore
+
+    if _ncore.available():
+        enc, sep, sep_sizes, cluster = _ncore.encode_ref_batch_streams(
+            deltas.astype(np.int32), keys.astype(np.int32), code_arr,
+            len_arr.astype(np.int32),
+        )
+        bbox_min = np.array([x.min(), y.min(), z.min()], I32)
+        bbox_max = np.array([x.max(), y.max(), z.max()], I32)
+        return EncodedBatch(
+            start_values=starts.reshape(-1).astype(I32),
+            encoding=enc,
+            separate=sep,
+            separate_sizes=sep_sizes,
+            decoder_values=tv.astype(I32),
+            decoder_cw_len=tl.astype(I32),
+            cluster_sizes=cluster,
+            bbox_min_i=bbox_min,
+            bbox_max_i=bbox_max,
+        )
+
     pos = np.searchsorted(keys, deltas.astype(np.int64))
     codes = code_arr[pos]
     slen = len_arr[pos]

@@ -209,6 +209,32 @@ def encode_native_batch(x, y, z) -> NativeBatch:
     code = CanonicalCode.from_frequencies(values, counts)
     enc_table = code.encode_table()
 
+    # fast path: byte-identical C++ core (pcrhpg24_tpu/native)
+    from .. import native as _ncore
+
+    if _ncore.available():
+        codes_arr = np.zeros(33, np.uint32)
+        lens_arr = np.zeros(33, np.int32)
+        for sym, (c, l) in enc_table.items():
+            codes_arr[sym] = c
+            lens_arr[sym] = l
+        maxw = 16384
+        out = None
+        while out is None:
+            out = _ncore.encode_native_batch_streams(
+                deltas.astype(np.int32), codes_arr, lens_arr, maxw
+            )
+            maxw *= 2
+        streams_c, ptrs_c = out
+        return NativeBatch(
+            streams=streams_c,
+            code=code,
+            start_values=starts.astype(np.int32),
+            bbox_min_i=np.array([x.min(), y.min(), z.min()], np.int32),
+            bbox_max_i=np.array([x.max(), y.max(), z.max()], np.int32),
+            round_ptrs=ptrs_c,
+        )
+
     streams = []
     round_ptrs = np.zeros((2 * SYMS_PER_LANE, TPU_GROUPS_PER_BATCH), np.int32)
     for g in range(TPU_GROUPS_PER_BATCH):

@@ -1,0 +1,116 @@
+"""ctypes bindings for the native codec core (libcodec_core.so).
+
+Falls back to the NumPy implementations when the library is missing;
+`build()` compiles it with g++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "libcodec_core.so")
+_lib = None
+
+
+def build() -> str:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+         os.path.join(_DIR, "codec_core.cpp")],
+        check=True,
+    )
+    return _SO
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        try:
+            build()
+        except Exception:
+            return None
+    lib = ctypes.CDLL(_SO)
+    lib.encode_native_batch.restype = ctypes.c_int
+    lib.encode_native_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.encode_ref_batch.restype = ctypes.c_int
+    lib.encode_ref_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def encode_native_batch_streams(deltas: np.ndarray, bucket_codes, bucket_lens,
+                                maxw: int):
+    """C++ path of codec/native.py's per-group pack + interleave.
+
+    deltas: (1024, 192) i32.  Returns (streams list of 8 arrays,
+    round_ptrs (384,8) i32) or None when maxw too small.
+    """
+    lib = get_lib()
+    deltas = np.ascontiguousarray(deltas, np.int32)
+    codes = np.zeros(33, np.uint32)
+    lens = np.zeros(33, np.int32)
+    codes[: len(bucket_codes)] = bucket_codes
+    lens[: len(bucket_lens)] = bucket_lens
+    stream = np.zeros((8, maxw), np.uint32)
+    group_len = np.zeros(8, np.int32)
+    ptrs = np.zeros((384, 8), np.int32)
+    rc = lib.encode_native_batch(
+        deltas.ctypes.data, codes.ctypes.data, lens.ctypes.data,
+        stream.ctypes.data, group_len.ctypes.data, ptrs.ctypes.data,
+        maxw,
+    )
+    if rc != 0:
+        return None
+    streams = [stream[g, : group_len[g]].copy() for g in range(8)]
+    return streams, ptrs
+
+
+def encode_ref_batch_streams(deltas: np.ndarray, sym_keys, sym_codes, sym_lens):
+    """C++ path of codec/batch_codec.py's pack + warp interleave.
+
+    Returns (encoding u32, separate i32, separate_sizes (1024,) i32,
+    cluster_sizes (32,) i32)."""
+    lib = get_lib()
+    deltas = np.ascontiguousarray(deltas, np.int32)
+    sym_keys = np.ascontiguousarray(sym_keys, np.int32)
+    sym_codes = np.ascontiguousarray(sym_codes, np.uint32)
+    sym_lens = np.ascontiguousarray(sym_lens, np.int32)
+    cap_enc = 1024 * 192 * 2 + 4096  # 44 bits/sym absolute worst case
+    cap_sep = 1024 * 192
+    enc = np.zeros(cap_enc, np.uint32)
+    sep = np.zeros(cap_sep, np.int32)
+    sep_sizes = np.zeros(1024, np.int32)
+    cluster = np.zeros(32, np.int32)
+    enc_len = ctypes.c_int64()
+    sep_len = ctypes.c_int64()
+    rc = lib.encode_ref_batch(
+        deltas.ctypes.data, sym_keys.ctypes.data, sym_codes.ctypes.data,
+        sym_lens.ctypes.data, len(sym_keys), enc.ctypes.data, cap_enc,
+        ctypes.byref(enc_len), sep.ctypes.data, cap_sep,
+        ctypes.byref(sep_len), sep_sizes.ctypes.data, cluster.ctypes.data,
+    )
+    assert rc == 0, f"encode_ref_batch failed: {rc}"
+    return (
+        enc[: enc_len.value].copy(),
+        sep[: sep_len.value].copy(),
+        sep_sizes,
+        cluster,
+    )
