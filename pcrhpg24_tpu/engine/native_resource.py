@@ -57,7 +57,8 @@ class NativeLasData(Resource):
         if self.state != ResourceState.UNLOADED:
             return
         self.state = ResourceState.LOADING
-        B = -(-self.num_batches // RENDER_CHUNK_BATCHES) * RENDER_CHUNK_BATCHES
+        from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
+        B = -(-self.num_batches // _NCHUNK) * _NCHUNK
         self.dev = dict(
             lj=jnp.zeros((B, 1, 16), jnp.int32),
             streams=jnp.zeros((B, G, self.maxw), jnp.uint32),

@@ -172,6 +172,12 @@ class HuffmanMemIter(Method):
         b_pad = -(-las.num_batches // CHUNK) * CHUNK
         lod_full = np.zeros(b_pad, np.int32)
         lod_full[:B] = np.where(vis, n_pts, 0).astype(np.int32)
+        Debug.clear_frame_stats()
+        Debug.push_frame_stat("#batches loaded", str(B))
+        Debug.push_frame_stat("#batches visible", str(int(vis.sum())))
+        Debug.push_frame_stat(
+            "#points budget", f"{int(lod_full.astype(np.int64).sum() * 1024):,}"
+        )
         return wvp, lod_full
 
     def render(self, renderer):

@@ -24,7 +24,9 @@ from ..pallas_decode import decode_native_batches
 from ..raster import EMPTY, resolve
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 
-CHUNK = RENDER_CHUNK_BATCHES
+# smaller chunk than the XLA path: bounds Mosaic compile time of the
+# per-batch grid and the scatter size (64 batches = 4.2M points/pass)
+CHUNK = 64
 
 
 @partial(
