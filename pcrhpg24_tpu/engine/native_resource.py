@@ -67,6 +67,8 @@ class NativeLasData(Resource):
             lut=jnp.zeros((B, 1, 128), jnp.int32),
             starts=jnp.zeros((B, 3, G, 128), jnp.int32),
             colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+            bbox_min=jnp.zeros((B, 3), jnp.float32),
+            bbox_max=jnp.zeros((B, 3), jnp.float32),
         )
         self._abort.clear()
         self._thread = threading.Thread(target=self._loader_main, daemon=True)
@@ -116,6 +118,14 @@ class NativeLasData(Resource):
                 bmax = nb.bbox_max_i.astype(np.float64) * self.scale + self.offset
                 self.bbox_min[start + i] = (bmin - self.las_min).astype(np.float32)
                 self.bbox_max[start + i] = (bmax - self.las_min).astype(np.float32)
+            d["bbox_min"] = _upload_rows(
+                d["bbox_min"], start,
+                jnp.asarray(self.bbox_min[start : start + len(items)]),
+            )
+            d["bbox_max"] = _upload_rows(
+                d["bbox_max"], start,
+                jnp.asarray(self.bbox_max[start : start + len(items)]),
+            )
             self.num_batches_loaded = max(self.num_batches_loaded, start + len(items))
             self.num_points_loaded = self.num_batches_loaded * WORKGROUP_SIZE * 64
         if self.num_batches_loaded == self.num_batches:

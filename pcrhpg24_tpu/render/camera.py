@@ -160,3 +160,56 @@ def lod_points_per_thread(
         (percentage * points_per_thread).astype(np.int32), points_per_thread
     )
     return n, use_double
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jax) variants — used per frame to avoid host round trips
+# ---------------------------------------------------------------------------
+
+
+def frame_setup_device(view_proj_pair, bbox_min, bbox_max, n_loaded,
+                       width, height, lod_floor, cull: bool,
+                       points_per_thread: int = 64):
+    """jnp version of frustum cull + LOD (render.cu:339-379).
+
+    view_proj_pair: (2,4,4) f32 [view; proj]; bbox_*: (B,3) f32 device;
+    n_loaded: scalar i32.  Returns lod_n (B,) i32 (0 = culled).
+    """
+    import jax.numpy as jnp
+
+    view = view_proj_pair[0]
+    proj = view_proj_pair[1]
+    wvp = proj @ view
+    B = bbox_min.shape[0]
+
+    center = 0.5 * (bbox_min + bbox_max)
+    radius = jnp.linalg.norm(bbox_min - bbox_max, axis=1)
+    ch = jnp.concatenate([center, jnp.ones((B, 1), center.dtype)], 1)
+    vc = ch @ view.T
+    ve = vc + jnp.pad(radius[:, None], ((0, 0), (0, 3)))
+    pc = vc @ proj.T
+    pe = ve @ proj.T
+    sc = 0.5 * (pc[:, :2] / pc[:, 3:4] + 1.0) * jnp.asarray([width, height], pc.dtype)
+    se = 0.5 * (pe[:, :2] / pe[:, 3:4] + 1.0) * jnp.asarray([width, height], pc.dtype)
+    pixel_size = jnp.linalg.norm(se - sc, axis=1)
+    percentage = jnp.clip(1.8 * pixel_size / 100.0 - 0.3, lod_floor, 1.0)
+    n = jnp.minimum((percentage * points_per_thread).astype(jnp.int32),
+                    points_per_thread)
+
+    if cull:
+        rows = [wvp[3] - wvp[0], wvp[3] + wvp[0], wvp[3] + wvp[1],
+                wvp[3] - wvp[1], wvp[3] - wvp[2], wvp[3] + wvp[2]]
+        planes = jnp.stack(rows)
+        norm = jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
+        planes = planes / norm
+        normals = planes[:, :3]
+        consts = planes[:, 3]
+        corner = jnp.where(
+            normals[None, :, :] > 0, bbox_max[:, None, :], bbox_min[:, None, :]
+        )
+        d = jnp.einsum("bpc,pc->bp", corner, normals) + consts[None, :]
+        vis = (d >= 0).all(axis=1)
+        n = jnp.where(vis, n, 0)
+
+    loaded = jnp.arange(B) < n_loaded
+    return jnp.where(loaded, n, 0)

@@ -23,7 +23,7 @@ import numpy as np
 from ...constants import POINTS_PER_THREAD, WORKGROUP_SIZE
 from ...engine.debug import Debug
 from ...engine.method import Method, Runtime
-from ..bc1_jax import decode_bc1_payload
+from ..bc1_layout import bc1_payload_reference
 from ..decode_jax import decode_batches_core
 from ..raster import EMPTY, project
 from .huffman_mem_iter import CHUNK, HuffmanMemIter, _slice_rows
@@ -52,13 +52,7 @@ def _project_points(dev, chunk_start, transform, lod_n, scale, offset_rel,
     mask = jnp.broadcast_to(
         pt_idx[None, None, :] < n_chunk[:, None, None], coords.shape[:3]
     ).reshape(-1)
-    local_pid = (
-        jnp.arange(WORKGROUP_SIZE, dtype=jnp.int32)[:, None] * POINTS_PER_THREAD
-        + pt_idx[None, :]
-    )
-    rgba = decode_bc1_payload(
-        colors[:, None, :], jnp.broadcast_to(local_pid, coords.shape[:3])
-    ).reshape(-1)
+    rgba = bc1_payload_reference(colors, coords.shape[:3]).reshape(-1)
 
     clip = project(pos, transform)
     w = clip[:, 3]

@@ -30,7 +30,7 @@ import numpy as np
 from ...constants import POINTS_PER_THREAD, RENDER_CHUNK_BATCHES, WORKGROUP_SIZE
 from ...engine.debug import Debug
 from ...engine.method import Method, Runtime
-from ..bc1_jax import decode_bc1_payload
+from ..bc1_layout import bc1_payload_reference
 from ..camera import batches_in_frustum, frustum_planes, lod_points_per_thread
 from ..decode_jax import decode_batches_core
 from ..raster import EMPTY, project, resolve
@@ -94,13 +94,7 @@ def render_chunk(
             n_chunk.astype(jnp.uint32)[:, None, None], coords.shape[:3]
         )
     else:
-        local_pid = (
-            jnp.arange(WORKGROUP_SIZE, dtype=jnp.int32)[:, None] * POINTS_PER_THREAD
-            + pt_idx[None, :]
-        )  # (1024, 64)
-        payload = decode_bc1_payload(
-            colors[:, None, :], jnp.broadcast_to(local_pid, coords.shape[:3])
-        ).astype(jnp.uint32)
+        payload = bc1_payload_reference(colors, coords.shape[:3]).astype(jnp.uint32)
 
     size = width * height
     p = pos.reshape(-1, 3)

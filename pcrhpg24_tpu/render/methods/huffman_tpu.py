@@ -18,7 +18,7 @@ import numpy as np
 from ...constants import POINTS_PER_THREAD, RENDER_CHUNK_BATCHES
 from ...engine.debug import Debug
 from ...engine.method import Runtime
-from ..bc1_jax import decode_bc1_payload
+from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_native_xla
 from ..pallas_decode import decode_native_batches
 from ..raster import EMPTY, resolve
@@ -85,13 +85,7 @@ def render_chunk_native(
             n_chunk.astype(jnp.uint32)[:, None, None, None], shp
         )
     else:
-        # local point id within batch: (g*128 + lane)*64 + i
-        g_i = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
-        l_i = jax.lax.broadcasted_iota(jnp.int32, shp, 3)
-        local = (g_i * 128 + l_i) * POINTS_PER_THREAD + pt_idx[None, :, None, None]
-        payload = decode_bc1_payload(
-            colors[:, None, None, :], local
-        ).astype(jnp.uint32)
+        payload = bc1_payload_native(colors, shp).astype(jnp.uint32)
 
     pid = pid.reshape(-1)
     depth = depth.reshape(-1)
@@ -129,6 +123,8 @@ class HuffmanTpu(HuffmanMemIter):
         if B == 0:
             return resolve(fb_p, W, H)
 
+        # host-side cull + LOD (f64 plane extraction: the far-plane row
+        # cancels catastrophically in f32), one consolidated upload
         wvp, lod_full = self.frame_setup(renderer)
         lod_dev = jnp.asarray(lod_full)
         mode = (
@@ -136,8 +132,12 @@ class HuffmanTpu(HuffmanMemIter):
             if Debug.colorize_chunks
             else "show_num_points" if Debug.show_num_points else "color"
         )
-        scale = jnp.asarray(las.scale, jnp.float32)
-        offset_rel = jnp.asarray(las.offset - las.las_min, jnp.float32)
+        if not hasattr(las, "_dev_consts"):
+            las._dev_consts = (
+                jnp.asarray(las.scale, jnp.float32),
+                jnp.asarray(las.offset - las.las_min, jnp.float32),
+            )
+        scale, offset_rel = las._dev_consts
         t = jnp.asarray(wvp)
 
         for c in range((B + CHUNK - 1) // CHUNK):
