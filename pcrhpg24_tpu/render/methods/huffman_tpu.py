@@ -29,11 +29,6 @@ from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 CHUNK = 64
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "mode", "use_pallas"),
-    donate_argnums=(9, 10),
-)
 def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
     width: int, height: int, mode: str, fb_d, fb_p, use_pallas: bool = True,
@@ -103,6 +98,42 @@ def render_chunk_native(
     return fb_d, fb_p
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "mode", "use_pallas", "nchunks"),
+)
+def render_frame_native(
+    dev, transform, lod_n, scale, offset_rel,
+    width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
+):
+    """Whole frame in one dispatch: fb init + all chunks + resolve."""
+    size = width * height
+    fb_d = jnp.full((size,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((size,), EMPTY, jnp.uint32)
+    for c in range(nchunks):
+        fb_d, fb_p = render_chunk_native(
+            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+            width, height, mode, fb_d, fb_p, use_pallas,
+        )
+    if mode == "colorize_chunks":
+        img = jnp.where(
+            fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)
+        ).reshape(height, width)
+    elif mode == "show_num_points":
+        shade = jnp.clip(
+            (fb_p.astype(jnp.float32) / 64.0) * 255.0, 0, 255
+        ).astype(jnp.uint32)
+        gray = shade | (shade << 8) | (shade << 16)
+        img = jnp.where(fb_p != EMPTY, gray, jnp.uint32(0x00443322)).reshape(
+            height, width
+        )
+    else:
+        img = jnp.where(fb_p != EMPTY, fb_p, jnp.uint32(0x00443322)).reshape(
+            height, width
+        )
+    return fb_d, fb_p, img
+
+
 class HuffmanTpu(HuffmanMemIter):
     """Flagship native-format method (Pallas decode path)."""
 
@@ -140,21 +171,9 @@ class HuffmanTpu(HuffmanMemIter):
         scale, offset_rel = las._dev_consts
         t = jnp.asarray(wvp)
 
-        for c in range((B + CHUNK - 1) // CHUNK):
-            fb_d, fb_p = render_chunk_native(
-                las.dev, c * CHUNK, t, lod_dev, scale, offset_rel,
-                W, H, mode, fb_d, fb_p,
-                use_pallas=jax.default_backend() == "tpu",
-            )
+        fb_d, fb_p, img = render_frame_native(
+            las.dev, t, lod_dev, scale, offset_rel, W, H, mode,
+            (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
+        )
         renderer.last_fb = (fb_d, fb_p)
-        if mode == "colorize_chunks":
-            return jnp.where(
-                fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)
-            ).reshape(H, W)
-        if mode == "show_num_points":
-            shade = jnp.clip(
-                (fb_p.astype(jnp.float32) / 64.0) * 255.0, 0, 255
-            ).astype(jnp.uint32)
-            gray = shade | (shade << 8) | (shade << 16)
-            return jnp.where(fb_p != EMPTY, gray, jnp.uint32(0x00443322)).reshape(H, W)
-        return resolve(fb_p, W, H)
+        return img

@@ -51,7 +51,7 @@ def _mk_lt():
 def _decode_kernel(
     lj_ref,  # SMEM (1, 1, 16) i32: lj_limit[1..12] at [0:12]
     stream_ref,  # VMEM (1, 8, MAXW) u32 group streams
-    ptr_ref,  # VMEM (1, 384, 8) i32 per-round window pointers
+    ptr_ref,  # SMEM (1, 384, 8) i32 per-round window pointers
     dD_ref,  # VMEM (1, 1, 128) i32: base_idx[L]-first_code[L] at [L], L=1..12
     lut_ref,  # VMEM (1, 1, 128) i32: sym_idx -> bucket
     start_ref,  # VMEM (1, 3, 8, 128) i32 chain start values
@@ -160,7 +160,7 @@ def _decode_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
     """lj (B,1,16) i32, streams (B,8,MAXW) u32, ptrs (B,384,8) i32,
-    dD (B,128) i32, lut (B,128) i32, starts (B,3,8,128) i32
+    dD (B,1,128) i32, lut (B,1,128) i32, starts (B,3,8,128) i32
     -> (B, 64, 3, 8, 128) i32 absolute coords."""
     B = streams.shape[0]
     maxw = streams.shape[2]
@@ -175,7 +175,7 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G, maxw), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 384, G), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 384, G), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 3, G, LANES), lambda b: (b, 0, 0, 0)),
