@@ -96,6 +96,13 @@ class Camera:
     def view_proj(self) -> np.ndarray:
         return self.proj() @ self.view()
 
+    def proj_params(self) -> np.ndarray:
+        """[a, b, c, d, near, far] — the nonzero perspective terms."""
+        p = self.proj()
+        return np.array(
+            [p[0, 0], p[1, 1], p[2, 2], p[2, 3], self.near, self.far]
+        )
+
 
 def frustum_planes(world_view_proj: np.ndarray) -> np.ndarray:
     """(6,4) planes (normalized normal, constant); Gribb-Hartmann rows
@@ -167,19 +174,52 @@ def lod_points_per_thread(
 # ---------------------------------------------------------------------------
 
 
-def frame_setup_device(view_proj_pair, bbox_min, bbox_max, n_loaded,
-                       width, height, lod_floor, cull: bool,
-                       points_per_thread: int = 64):
-    """jnp version of frustum cull + LOD (render.cu:339-379).
+def stable_frustum_planes(view, proj_params):
+    """(6,4) planes from view rows + exact projection coefficients.
 
-    view_proj_pair: (2,4,4) f32 [view; proj]; bbox_*: (B,3) f32 device;
-    n_loaded: scalar i32.  Returns lod_n (B,) i32 (0 = culled).
+    Naively extracting Gribb-Hartmann planes from (proj @ view) in f32
+    destroys the far plane: its row is row3 - row2 = -(1+c) v2 - d e4
+    where (1+c) = 2n/(n-f) ~ 1e-6 cancels catastrophically.  Building the
+    rows symbolically from [a,b,c,d,n,f] keeps full precision in f32.
     """
     import jax.numpy as jnp
 
-    view = view_proj_pair[0]
-    proj = view_proj_pair[1]
-    wvp = proj @ view
+    a, b, c, d, near, far = (proj_params[i] for i in range(6))
+    v0, v1, v2 = view[0], view[1], view[2]
+    e4 = jnp.zeros(4, view.dtype).at[3].set(1.0)
+    one_plus_c = 2.0 * near / (near - far)   # == 1 + c, exact form
+    c_minus_1 = 2.0 * far / (near - far)     # == c - 1, exact form
+    rows = [
+        -v2 - a * v0,                 # right:  row3 - row0
+        -v2 + a * v0,                 # left:   row3 + row0
+        -v2 + b * v1,                 # bottom: row3 + row1
+        -v2 - b * v1,                 # top:    row3 - row1
+        -one_plus_c * v2 - d * e4,    # far:    row3 - row2
+        c_minus_1 * v2 + d * e4,      # near:   row3 + row2
+    ]
+    planes = jnp.stack(rows)
+    n = jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
+    return planes / jnp.maximum(n, 1e-30)
+
+
+def frame_setup_device(view, proj_params, bbox_min, bbox_max, n_loaded,
+                       width, height, lod_floor, cull: bool,
+                       points_per_thread: int = 64):
+    """jnp frustum cull + LOD, all on device (the reference computes this
+    per block in f32 on the GPU too, render.cu:339-379).
+
+    view: (4,4) f32; proj_params: (6,) f32 [a,b,c,d,near,far] from
+    `Camera.proj_params`; bbox_*: (B,3) f32 device; n_loaded: scalar
+    i32.  Returns lod_n (B,) i32 (0 = culled).
+    """
+    import jax.numpy as jnp
+
+    a, b, c, d = (proj_params[i] for i in range(4))
+    proj = (
+        jnp.zeros((4, 4), view.dtype)
+        .at[0, 0].set(a).at[1, 1].set(b)
+        .at[2, 2].set(c).at[2, 3].set(d).at[3, 2].set(-1.0)
+    )
     B = bbox_min.shape[0]
 
     center = 0.5 * (bbox_min + bbox_max)
@@ -197,18 +237,14 @@ def frame_setup_device(view_proj_pair, bbox_min, bbox_max, n_loaded,
                     points_per_thread)
 
     if cull:
-        rows = [wvp[3] - wvp[0], wvp[3] + wvp[0], wvp[3] + wvp[1],
-                wvp[3] - wvp[1], wvp[3] - wvp[2], wvp[3] + wvp[2]]
-        planes = jnp.stack(rows)
-        norm = jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
-        planes = planes / norm
+        planes = stable_frustum_planes(view, proj_params)
         normals = planes[:, :3]
         consts = planes[:, 3]
         corner = jnp.where(
             normals[None, :, :] > 0, bbox_max[:, None, :], bbox_min[:, None, :]
         )
-        d = jnp.einsum("bpc,pc->bp", corner, normals) + consts[None, :]
-        vis = (d >= 0).all(axis=1)
+        dist = jnp.einsum("bpc,pc->bp", corner, normals) + consts[None, :]
+        vis = (dist >= 0).all(axis=1)
         n = jnp.where(vis, n, 0)
 
     loaded = jnp.arange(B) < n_loaded

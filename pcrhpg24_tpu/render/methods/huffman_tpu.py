@@ -22,6 +22,7 @@ from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_native_xla
 from ..pallas_decode import decode_native_batches
 from ..raster import EMPTY, resolve
+from ..camera import frame_setup_device
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 
 # smaller chunk than the XLA path: bounds Mosaic compile time of the
@@ -100,13 +101,27 @@ def render_chunk_native(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "mode", "use_pallas", "nchunks"),
+    static_argnames=("width", "height", "mode", "use_pallas", "nchunks", "cull"),
 )
 def render_frame_native(
-    dev, transform, lod_n, scale, offset_rel,
+    dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
+    cull: bool,
 ):
-    """Whole frame in one dispatch: fb init + all chunks + resolve."""
+    """Whole frame in one dispatch: cull/LOD + fb init + chunks + resolve.
+
+    frame_params: (40,) f32 — view(16) | proj_params(6) | lod_floor | B |
+    wvp(16, host-computed in f64 then cast: keeps depth bits identical to
+    the host-transform methods) — the frame's only host->device transfer.
+    """
+    view = frame_params[0:16].reshape(4, 4)
+    proj_params = frame_params[16:22]
+    lod_n = frame_setup_device(
+        view, proj_params, dev["bbox_min"], dev["bbox_max"],
+        frame_params[23].astype(jnp.int32), width, height,
+        frame_params[22], cull,
+    )
+    transform = frame_params[24:40].reshape(4, 4)
     size = width * height
     fb_d = jnp.full((size,), EMPTY, jnp.uint32)
     fb_p = jnp.full((size,), EMPTY, jnp.uint32)
@@ -154,10 +169,6 @@ class HuffmanTpu(HuffmanMemIter):
         if B == 0:
             return resolve(fb_p, W, H)
 
-        # host-side cull + LOD (f64 plane extraction: the far-plane row
-        # cancels catastrophically in f32), one consolidated upload
-        wvp, lod_full = self.frame_setup(renderer)
-        lod_dev = jnp.asarray(lod_full)
         mode = (
             "colorize_chunks"
             if Debug.colorize_chunks
@@ -169,11 +180,18 @@ class HuffmanTpu(HuffmanMemIter):
                 jnp.asarray(las.offset - las.las_min, jnp.float32),
             )
         scale, offset_rel = las._dev_consts
-        t = jnp.asarray(wvp)
 
+        cam = renderer.camera
+        fp = np.zeros(40, np.float32)
+        fp[0:16] = cam.view().astype(np.float32).reshape(-1)
+        fp[16:22] = cam.proj_params().astype(np.float32)
+        fp[22] = Debug.lod
+        fp[23] = float(B)
+        fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
         fb_d, fb_p, img = render_frame_native(
-            las.dev, t, lod_dev, scale, offset_rel, W, H, mode,
+            las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
+            Debug.frustum_culling_enabled and Debug.update_frustum,
         )
         renderer.last_fb = (fb_d, fb_p)
         return img
