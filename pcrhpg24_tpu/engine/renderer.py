@@ -87,19 +87,22 @@ class Renderer:
         write_png(path, rgb)
 
     def save_depth_exr(self, path: str) -> None:
-        """Dump the depth channel (huffman_mem_iter_cuda.h:200-220).
-
-        Written as a .npy sidecar plus a minimal float EXR is out of
-        scope for v1; depth is exported losslessly as .npy.
-        """
+        """Dump the depth channel (huffman_mem_iter_cuda.h:200-220):
+        EXR for .exr paths (single Z float channel like the reference's
+        tinyexr dump), .npy otherwise."""
         if self.last_fb is None:
             raise RuntimeError("no framebuffer available")
         fb_d, _ = self.last_fb
         d = np.asarray(fb_d).view(np.float32).reshape(self.height, self.width)
         d = np.where(
             np.asarray(fb_d).reshape(self.height, self.width) == 0xFFFFFFFF, 0.0, d
-        )
-        np.save(path, d[::-1])
+        )[::-1]
+        if path.endswith(".exr"):
+            from ..utils.exr import write_exr_z
+
+            write_exr_z(path, d.astype(np.float32))
+        else:
+            np.save(path, d)
 
 
 @dataclass
