@@ -92,6 +92,7 @@ def main(argv=None):
     ap.add_argument("--colorize-chunks", action="store_true")
     ap.add_argument("--show-num-points", action="store_true")
     ap.add_argument("--no-frustum-culling", action="store_true")
+    ap.add_argument("--show-bounding-box", action="store_true")
     ap.add_argument("--list-methods", action="store_true")
     ap.add_argument("--stats", action="store_true", help="print timing report")
     args = ap.parse_args(argv)
@@ -100,6 +101,7 @@ def main(argv=None):
     Debug.colorize_chunks = args.colorize_chunks
     Debug.show_num_points = args.show_num_points
     Debug.frustum_culling_enabled = not args.no_frustum_culling
+    Debug.show_bounding_box = args.show_bounding_box
 
     renderer = Renderer(args.width, args.height)
     renderer.apply_setting(

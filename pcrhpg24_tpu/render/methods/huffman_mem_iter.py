@@ -206,6 +206,7 @@ class HuffmanMemIter(Method):
             )
 
         renderer.last_fb = (fb_d, fb_p)
+        img = None
         if mode == "colorize_chunks":
             img = jnp.where(
                 fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)
@@ -218,4 +219,11 @@ class HuffmanMemIter(Method):
             img = jnp.where(fb_p != EMPTY, gray, jnp.uint32(0x00443322)).reshape(H, W)
         else:
             img = resolve(fb_p, W, H)
+        if Debug.show_bounding_box:
+            from ..overlay import draw_bounding_boxes
+
+            img = draw_bounding_boxes(
+                img, jnp.asarray(las.bbox_min[:B]), jnp.asarray(las.bbox_max[:B]),
+                jnp.asarray(wvp), W, H,
+            )
         return img

@@ -194,4 +194,11 @@ class HuffmanTpu(HuffmanMemIter):
             Debug.frustum_culling_enabled and Debug.update_frustum,
         )
         renderer.last_fb = (fb_d, fb_p)
+        if Debug.show_bounding_box:
+            from ..overlay import draw_bounding_boxes
+
+            img = draw_bounding_boxes(
+                img, las.dev["bbox_min"][:], las.dev["bbox_max"][:],
+                jnp.asarray(fp[24:40].reshape(4, 4)), W, H,
+            )
         return img

@@ -123,3 +123,17 @@ def test_colorize_chunks_mode(scene):
         assert len(np.unique(fg)) >= 2  # multiple batches visible
     finally:
         Debug.colorize_chunks = False
+
+
+def test_bounding_box_overlay(scene):
+    Debug.show_bounding_box = True
+    try:
+        las = HuffmanLasData.create(scene)
+        r = make_renderer()
+        method = HuffmanMemIter(r, las)
+        method.update(r)
+        las.wait_loaded(r)
+        img = np.asarray(r.loop(method.update, method.render, frames=1))
+        assert (img == 0x0000FFFF).sum() > 50  # box lines present
+    finally:
+        Debug.show_bounding_box = False
