@@ -50,13 +50,18 @@ def build_methods(renderer: Renderer, scene_path: str):
         )
         from .render.methods.basic import BasicMethod
         from .render.methods.compute_2021 import Compute2021, Compute2021Hqs
-        from .render.methods.loop_las import ComputeLoopLas, ComputeLoopLas2
+        from .render.methods.loop_las import (
+            ComputeLoopLas,
+            ComputeLoopLas2,
+            ComputeLoopLasHqs,
+        )
 
         d1010 = ComputeLasData.create(scene_path)
         basic = ComputeLasDataBasic.create(scene_path)
         std = LasStandardData.create(scene_path)
         Runtime.add_method(ComputeLoopLas(renderer, d1010))
         Runtime.add_method(ComputeLoopLas2(renderer, d1010))
+        Runtime.add_method(ComputeLoopLasHqs(renderer, d1010))
         Runtime.add_method(BasicMethod(renderer, basic))
         for name in Compute2021.VARIANTS:
             Runtime.add_method(Compute2021(renderer, std, name=name))

@@ -196,3 +196,123 @@ class ComputeLoopLas2(ComputeLoopLas):
     def __init__(self, renderer, las):
         super().__init__(renderer, las, name="loop_las2")
         self.description = "10-10-10 adaptive precision (las2 alias on TPU)"
+
+
+@partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(8, 9, 10, 11))
+def hqs_chunk_101010(
+    xyz4, xyz8, xyz12, level_pt, bmin_pt, bmax_pt, rgba, transform,
+    acc_r, acc_g, acc_b, acc_n, fb_depth, width: int, height: int,
+    mask_pt=None,
+):
+    """HQS accumulate pass over packed 10-10-10 points
+    (modules/compute_loop_las_hqs/color.cs:370-403 semantics)."""
+
+    def unpack(plane, shift):
+        p = plane.astype(jnp.uint32)
+        return (
+            ((p >> 0) & MASK) << shift,
+            ((p >> 10) & MASK) << shift,
+            ((p >> 20) & MASK) << shift,
+        )
+
+    x4, y4, z4 = unpack(xyz4, 20)
+    x8, y8, z8 = unpack(xyz8, 10)
+    x12, y12, z12 = unpack(xyz12, 0)
+    lvl = level_pt
+    box = bmax_pt - bmin_pt
+    X = jnp.where(lvl == 0, x4 | x8 | x12, jnp.where(lvl == 1, x4 | x8, x4))
+    Y = jnp.where(lvl == 0, y4 | y8 | y12, jnp.where(lvl == 1, y4 | y8, y4))
+    Z = jnp.where(lvl == 0, z4 | z8 | z12, jnp.where(lvl == 1, z4 | z8, z4))
+    denom = jnp.where(lvl >= 2, STEPS_10BIT, STEPS_30BIT)
+    Xs = jnp.where(lvl >= 2, X >> 20, X).astype(jnp.float32)
+    Ys = jnp.where(lvl >= 2, Y >> 20, Y).astype(jnp.float32)
+    Zs = jnp.where(lvl >= 2, Z >> 20, Z).astype(jnp.float32)
+    px_ = Xs * (box[:, 0] / denom) + bmin_pt[:, 0]
+    py_ = Ys * (box[:, 1] / denom) + bmin_pt[:, 1]
+    pz_ = Zs * (box[:, 2] / denom) + bmin_pt[:, 2]
+
+    t = transform.astype(jnp.float32)
+    cx = t[0, 0] * px_ + t[0, 1] * py_ + t[0, 2] * pz_ + t[0, 3]
+    cy = t[1, 0] * px_ + t[1, 1] * py_ + t[1, 2] * pz_ + t[1, 3]
+    w = t[3, 0] * px_ + t[3, 1] * py_ + t[3, 2] * pz_ + t[3, 3]
+    ndc_x, ndc_y = cx / w, cy / w
+    ok = (w > 0) & (jnp.abs(ndc_x) <= 1) & (jnp.abs(ndc_y) <= 1)
+    if mask_pt is not None:
+        ok &= mask_pt
+    sx = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
+    sy = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
+    ok &= (sx >= 0) & (sx < width) & (sy >= 0) & (sy < height)
+    size = width * height
+    pid = jnp.where(ok, sx + sy * width, size)
+    old = jax.lax.bitcast_convert_type(
+        fb_depth[jnp.clip(pid, 0, size - 1)], jnp.float32
+    )
+    keep = ok & (w <= old * 1.01)
+    pid2 = jnp.where(keep, pid, size)
+    acc_r = acc_r.at[pid2].add(rgba & 0xFF, mode="drop")
+    acc_g = acc_g.at[pid2].add((rgba >> 8) & 0xFF, mode="drop")
+    acc_b = acc_b.at[pid2].add((rgba >> 16) & 0xFF, mode="drop")
+    acc_n = acc_n.at[pid2].add(jnp.uint32(1), mode="drop")
+    return acc_r, acc_g, acc_b, acc_n
+
+
+class ComputeLoopLasHqs(ComputeLoopLas):
+    """HQS over the 10-10-10 format (modules/compute_loop_las_hqs)."""
+
+    def __init__(self, renderer, las):
+        super().__init__(renderer, las, name="loop_las_hqs")
+        self.description = "10-10-10 adaptive precision, HQS average blend"
+
+    def render(self, renderer):
+        from .huffman_hqs import resolve_hqs
+
+        las = self.las
+        las.process(renderer)
+        W, H = renderer.width, renderer.height
+        if las.num_batches_loaded == 0:
+            return jnp.full((H, W), jnp.uint32(0x00443322))
+
+        # depth pass via the base method (fills renderer.last_fb)
+        super().render(renderer)
+        fb_depth, _ = renderer.last_fb
+
+        cam = renderer.camera
+        view, proj = cam.view(), cam.proj()
+        wvp = jnp.asarray((proj @ view).astype(np.float32))
+        B = las.num_batches_loaded
+        bmin, bmax = las.bbox_min[:B], las.bbox_max[:B]
+        if Debug.frustum_culling_enabled and Debug.update_frustum:
+            vis = batches_in_frustum(frustum_planes(proj @ view), bmin, bmax)
+        else:
+            vis = np.ones(B, bool)
+        level = precision_levels(view, proj, bmin, bmax, W, H)
+
+        n_pad = las.dev["xyz4"].shape[0]
+        nb_pad = n_pad // POINTS_PER_WORKGROUP
+        lvl_full = np.zeros(nb_pad, np.int32)
+        lvl_full[:B] = level
+        vis_full = np.zeros(nb_pad, bool)
+        vis_full[:B] = vis
+        lvl_pt = jnp.asarray(np.repeat(lvl_full, POINTS_PER_WORKGROUP))
+        vis_pt = jnp.asarray(np.repeat(vis_full, POINTS_PER_WORKGROUP))
+        bmin_full = np.zeros((nb_pad, 3), np.float32)
+        bmax_full = np.zeros((nb_pad, 3), np.float32)
+        bmin_full[:B] = bmin
+        bmax_full[:B] = bmax
+        bmin_pt = jnp.asarray(np.repeat(bmin_full, POINTS_PER_WORKGROUP, axis=0))
+        bmax_pt = jnp.asarray(np.repeat(bmax_full, POINTS_PER_WORKGROUP, axis=0))
+
+        size = W * H
+        acc = [jnp.zeros((size,), jnp.uint32) for _ in range(4)]
+        d = las.dev
+        for s in range(0, n_pad, CHUNK_PTS):
+            sl = slice(s, s + CHUNK_PTS)
+            acc = list(
+                hqs_chunk_101010(
+                    d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl],
+                    lvl_pt[sl], bmin_pt[sl], bmax_pt[sl], d["rgba"][sl], wvp,
+                    *acc, fb_depth, W, H, vis_pt[sl],
+                )
+            )
+        renderer.last_fb = (fb_depth, acc[3])
+        return resolve_hqs(*acc, W, H)

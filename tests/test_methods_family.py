@@ -21,7 +21,7 @@ from pcrhpg24_tpu.engine.renderer import Renderer, Setting
 from pcrhpg24_tpu.formats.las import write_las
 from pcrhpg24_tpu.render.methods.basic import BasicMethod
 from pcrhpg24_tpu.render.methods.compute_2021 import Compute2021, Compute2021Hqs
-from pcrhpg24_tpu.render.methods.loop_las import ComputeLoopLas
+from pcrhpg24_tpu.render.methods.loop_las import ComputeLoopLas, ComputeLoopLasHqs
 from pcrhpg24_tpu.render.methods.parametric import Parametric
 from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
 
@@ -82,3 +82,8 @@ def test_parametric():
     m = Parametric(r, "sphere")
     img = np.asarray(r.loop(m.update, m.render, frames=1))
     assert (img != BG).mean() > 0.05
+
+
+def test_loop_las_hqs_runs(las_path):
+    img = run(ComputeLoopLasHqs, ComputeLasData, las_path)
+    assert (img != BG).mean() > 0.03
