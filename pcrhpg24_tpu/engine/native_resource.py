@@ -60,7 +60,7 @@ class NativeLasData(Resource):
         from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
         B = -(-self.num_batches // _NCHUNK) * _NCHUNK
         self.dev = dict(
-            lj=jnp.zeros((B, 1, 16), jnp.int32),
+            lj=jnp.zeros((B, 1, 32), jnp.int32),
             streams=jnp.zeros((B, G, self.maxw), jnp.uint32),
             ptrs=jnp.zeros((B, 384, G), jnp.int32),
             dD=jnp.zeros((B, 1, 128), jnp.int32),

@@ -49,7 +49,7 @@ def _mk_lt():
 
 
 def _decode_kernel(
-    lj_ref,  # SMEM (1, 1, 16) i32: lj_limit[1..12] at [0:12]
+    lj_ref,  # SMEM (1, 1, 32) i32: lj_limit[1..12] at [0:12], dD deltas at [16:28], dD[1] at [28]
     stream_ref,  # VMEM (1, 8, MAXW) u32 group streams
     ptr_ref,  # SMEM (1, 384, 8) i32 per-round window pointers
     dD_ref,  # VMEM (1, 1, 128) i32: base_idx[L]-first_code[L] at [L], L=1..12
@@ -58,7 +58,7 @@ def _decode_kernel(
     out_ref,  # VMEM (1, 64, 3, 8, 128) i32 absolute coords
 ):
     lt = _mk_lt()
-    dD_row = jnp.broadcast_to(dD_ref[0, 0].reshape(1, LANES), (G, LANES))
+    del dD_ref  # dD now folded into the lj scalar row
     lut_row = jnp.broadcast_to(lut_ref[0, 0].reshape(1, LANES), (G, LANES))
 
     cur0 = stream_ref[0, :, 0:LANES]
@@ -107,11 +107,16 @@ def _decode_kernel(
         """Returns (delta i32, new state); t = round index of the code round."""
         win = window_hi(cur, nxt, bitpos)
         win12 = (win >> _U(32 - MAXL)).astype(_I)
+        # one compare ladder yields both the code length L and
+        # dD[L] = base_idx[L] - first_code[L] (telescoped via SMEM deltas)
         L = jnp.ones_like(win12)
+        dd = jnp.full_like(win12, lj_ref[0, 0, 28])
         for j in range(1, MAXL):
-            L = L + (win12 >= lj_ref[0, 0, j - 1]).astype(_I)
+            ge = (win12 >= lj_ref[0, 0, j - 1]).astype(_I)
+            L = L + ge
+            dd = dd + ge * lj_ref[0, 0, 16 + j - 1]
         code_L = (win12 >> jnp.minimum(MAXL - L, MAXL)).astype(_I)
-        sym_idx = jnp.clip(code_L + jnp.take_along_axis(dD_row, jnp.clip(L, 0, 127), axis=1), 0, 127)
+        sym_idx = jnp.clip(code_L + dd, 0, 127)
         bucket = jnp.take_along_axis(lut_row, sym_idx, axis=1)
         bitpos = bitpos + L
         cur, nxt, bitpos = refill(t, cur, nxt, bitpos)
@@ -173,7 +178,7 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
         _decode_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 16), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G, maxw), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 384, G), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
@@ -203,7 +208,7 @@ def pack_native_batches(batches, maxw: int | None = None):
     if maxw is None:
         maxw = max(max(len(s) for s in nb.streams) for nb in batches)
         maxw = ((maxw + LANES - 1) // LANES + 1) * LANES + LANES
-    lj = np.zeros((B, 1, 16), np.int32)
+    lj = np.zeros((B, 1, 32), np.int32)
     streams = np.zeros((B, G, maxw), np.uint32)
     ptrs = np.zeros((B, 384, G), np.int32)
     dD = np.zeros((B, 1, 128), np.int32)
@@ -213,7 +218,10 @@ def pack_native_batches(batches, maxw: int | None = None):
     for i, nb in enumerate(batches):
         lj_limit, base_idx, first_code = nb.code.decode_tables()
         lj[i, 0, :MAXL] = lj_limit
-        dD[i, 0, 1 : MAXL + 1] = base_idx - first_code
+        dDv = base_idx - first_code  # dD[L] for L = 1..12 at index L-1
+        lj[i, 0, 28] = dDv[0]
+        lj[i, 0, 16 : 16 + MAXL - 1] = np.diff(dDv)
+        dD[i, 0, 1 : MAXL + 1] = dDv
         lut[i, 0, : len(nb.code.symbols)] = nb.code.symbols
         for g in range(G):
             s = nb.streams[g]
