@@ -35,6 +35,8 @@ def build_methods(renderer: Renderer, scene_path: str):
         data = NativeLasData.create(scene_path)
         Runtime.add_method(HuffmanTpu(renderer, data))
     elif scene_path.endswith(".huffman"):
+        import os
+
         from .engine.resource import HuffmanLasData
         from .render.methods.huffman_hqs import HuffmanHQS
         from .render.methods.huffman_mem_iter import HuffmanMemIter
@@ -42,6 +44,20 @@ def build_methods(renderer: Renderer, scene_path: str):
         data = HuffmanLasData.create(scene_path)
         Runtime.add_method(HuffmanMemIter(renderer, data))
         Runtime.add_method(HuffmanHQS(renderer, data))
+        # reference scenes also get the fast Pallas path through a
+        # transcoded .tpc sidecar (C++ transcoder, cached on disk)
+        sidecar = scene_path + ".tpc"
+        try:
+            if not os.path.exists(sidecar):
+                from .formats.native_file import transcode_huffman_to_tpc
+
+                transcode_huffman_to_tpc(scene_path, sidecar, verbose=False)
+            from .engine.native_resource import NativeLasData
+            from .render.methods.huffman_tpu import HuffmanTpu
+
+            Runtime.add_method(HuffmanTpu(renderer, NativeLasData.create(sidecar)))
+        except Exception as e:  # sidecar is an optimization, not a requirement
+            print(f"note: no tpc sidecar ({e})")
     elif scene_path.endswith(".las"):
         from .engine.las_resources import (
             ComputeLasData,

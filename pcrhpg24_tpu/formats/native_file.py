@@ -140,16 +140,23 @@ def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True):
     are bit-identical; colors are passed through unchanged)."""
     from ..codec.batch_codec import decode_batch, deltas_to_coords
     from ..formats.huffman_file import read_batch, read_file_header
+    from .. import native as _ncore
 
     hdr = read_file_header(huffman_path)
     batches, colors = [], []
     scale = offset = las_min = las_max = None
     for i in range(hdr.num_batches):
         b = read_batch(huffman_path, hdr, i)
-        deltas = decode_batch(
-            b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
-            b.decoder_values, b.decoder_cw_len,
-        )
+        if _ncore.available():
+            deltas = _ncore.decode_ref_batch_deltas(
+                b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
+                b.decoder_values, b.decoder_cw_len,
+            )
+        else:
+            deltas = decode_batch(
+                b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
+                b.decoder_values, b.decoder_cw_len,
+            )
         coords = deltas_to_coords(deltas, b.start_values)
         batches.append(encode_native_batch(coords[:, 0], coords[:, 1], coords[:, 2]))
         colors.append(np.asarray(b.color, np.uint32))

@@ -41,6 +41,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.decode_ref_batch.restype = ctypes.c_int
+    lib.decode_ref_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.encode_ref_batch.restype = ctypes.c_int
     lib.encode_ref_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -114,3 +119,25 @@ def encode_ref_batch_streams(deltas: np.ndarray, sym_keys, sym_codes, sym_lens):
         sep_sizes,
         cluster,
     )
+
+
+def decode_ref_batch_deltas(encoding, cluster_sizes, separate, separate_sizes,
+                            table_values, table_cw_len):
+    """C++ decode of one reference batch -> (1024, 192) i32 deltas."""
+    lib = get_lib()
+    encoding = np.ascontiguousarray(encoding, np.uint32)
+    cluster = np.ascontiguousarray(cluster_sizes, np.int32)
+    sep = np.ascontiguousarray(separate, np.int32)
+    if sep.size == 0:
+        sep = np.zeros(1, np.int32)
+    sepsz = np.ascontiguousarray(separate_sizes, np.int32)
+    tv = np.ascontiguousarray(table_values, np.int32)
+    tl = np.ascontiguousarray(table_cw_len, np.int32)
+    out = np.zeros((1024, 192), np.int32)
+    rc = lib.decode_ref_batch(
+        encoding.ctypes.data, len(encoding), cluster.ctypes.data,
+        sep.ctypes.data, sepsz.ctypes.data, tv.ctypes.data, tl.ctypes.data,
+        out.ctypes.data,
+    )
+    assert rc == 0
+    return out

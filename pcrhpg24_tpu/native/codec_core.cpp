@@ -239,3 +239,73 @@ int encode_ref_batch(const int32_t* deltas, const int32_t* sym_keys,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Reference-format (.huffman) batch DECODER
+// ---------------------------------------------------------------------------
+// Mirror of the GPU warp decoder semantics (the same protocol the Python
+// codec/batch_codec.py decode_batch implements): two-word lookahead per
+// lane, ballot-ordered refills, 4096-entry table with negative-length
+// escape entries.
+// encoding:    E u32 warp-interleaved words (batch-local)
+// cluster:     32 i32 inclusive prefix word counts (warp stream ends)
+// separate:    S i32 escape values
+// sep_sizes:   1024 i32 inclusive prefix escape counts
+// tval/tlen:   4096 i32 decoder table
+// out_deltas:  1024*192 i32
+int decode_ref_batch(const uint32_t* encoding, int64_t e_len,
+                     const int32_t* cluster, const int32_t* separate,
+                     const int32_t* sep_sizes, const int32_t* tval,
+                     const int32_t* tlen, int32_t* out_deltas) {
+  const int kMaxCw = 12;
+  for (int warp = 0; warp < kWarpsPerBatch; ++warp) {
+    int64_t base = warp == 0 ? 0 : cluster[warp - 1];
+    auto word = [&](int64_t i) -> uint32_t {
+      int64_t idx = base + i;
+      return idx < e_len ? encoding[idx] : 0u;
+    };
+    uint32_t cur[kLanesPerWarp], nxt[kLanesPerWarp];
+    int cur_bits[kLanesPerWarp];
+    int64_t sep_ptr[kLanesPerWarp];
+    for (int l = 0; l < kLanesPerWarp; ++l) {
+      cur[l] = word(l);
+      nxt[l] = word(kLanesPerWarp + l);
+      cur_bits[l] = 32;
+      int lane = warp * kLanesPerWarp + l;
+      sep_ptr[l] = lane == 0 ? 0 : sep_sizes[lane - 1];
+    }
+    int64_t already = 2 * kLanesPerWarp;
+    for (int i = 0; i < kSymsPerLane; ++i) {
+      bool need[kLanesPerWarp];
+      for (int l = 0; l < kLanesPerWarp; ++l) {
+        uint32_t L = cur_bits[l] == 32 ? cur[l]
+                                       : (cur[l] << (32 - cur_bits[l]));
+        uint32_t R = cur_bits[l] == 32 ? 0u : (nxt[l] >> cur_bits[l]);
+        uint32_t key = (L | R) >> (32 - kMaxCw);
+        int sl = tlen[key];
+        int lane = warp * kLanesPerWarp + l;
+        int32_t sym = sl > 0 ? tval[key] : separate[sep_ptr[l]++];
+        if (sl <= 0) {
+        } 
+        out_deltas[(int64_t)lane * kSymsPerLane + i] = sym;
+        cur_bits[l] -= sl < 0 ? -sl : sl;
+        need[l] = cur_bits[l] <= 0;
+      }
+      int64_t offs = 0;
+      for (int l = 0; l < kLanesPerWarp; ++l) {
+        if (need[l]) {
+          cur[l] = nxt[l];
+          nxt[l] = word(already + offs);
+          cur_bits[l] += 32;
+          offs++;
+        }
+      }
+      already += offs;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

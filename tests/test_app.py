@@ -42,3 +42,19 @@ def test_render_and_screenshot(tpc_scene, tmp_path):
     d = np.load(depth)
     assert d.shape == (90, 160)
     assert (d > 0).sum() > 100  # depth content present
+
+
+def test_huffman_scene_gets_tpu_method(tmp_path, capsys):
+    from pcrhpg24_tpu.preprocess import preprocess_las
+
+    xyz, rgb = terrain_cloud(70_000, seed=51, extent=400.0)
+    grid = cloud_to_grid(xyz)
+    las = str(tmp_path / "h.las")
+    huf = str(tmp_path / "h.huffman")
+    write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+    preprocess_las(las, huf, sort=True, verbose=False)
+    main(["--scene", huf, "--list-methods"])
+    out = capsys.readouterr().out
+    assert "huffman_mem_iter" in out
+    assert "huffman_tpu" in out  # sidecar transcode registered
+    assert os.path.exists(huf + ".tpc")
