@@ -32,8 +32,11 @@ def build_methods(renderer: Renderer, scene_path: str):
         from .engine.native_resource import NativeLasData
         from .render.methods.huffman_tpu import HuffmanTpu
 
+        from .render.methods.huffman_tpu_hqs import HuffmanTpuHqs
+
         data = NativeLasData.create(scene_path)
         Runtime.add_method(HuffmanTpu(renderer, data))
+        Runtime.add_method(HuffmanTpuHqs(renderer, data))
     elif scene_path.endswith(".huffman"):
         import os
 

@@ -66,32 +66,46 @@ def test_transcode_matches_direct(paths):
             np.testing.assert_array_equal(ca, cb)
 
 
+def _run_method(method_cls, data_cls, path):
+    from pcrhpg24_tpu.engine.method import Runtime
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(
+        Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
+    )
+    data = data_cls.create(path)
+    m = method_cls(r, data)
+    m.update(r)
+    data.wait_loaded(r)
+    img = np.asarray(r.loop(m.update, m.render, frames=1))
+    fb = tuple(np.asarray(a) for a in r.last_fb)
+    data.unload(r)
+    return img, fb
+
+
 def test_native_method_matches_reference_method(paths):
     """huffman_tpu must produce the same framebuffer as huffman_mem_iter."""
     _las, huf, tpc = paths
     Debug.lod = 1.0
 
-    def run(method_cls, data_cls, path):
-        r = Renderer(W, H)
-        r.apply_setting(
-            Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
-        )
-        data = data_cls.create(path)
-        m = method_cls(r, data)
-        m.update(r)
-        data.wait_loaded(r)
-        img = np.asarray(r.loop(m.update, m.render, frames=1))
-        fb = tuple(np.asarray(a) for a in r.last_fb)
-        data.unload(r)
-        return img, fb
-
-    img_ref, fb_ref = run(HuffmanMemIter, HuffmanLasData, huf)
-    from pcrhpg24_tpu.engine.method import Runtime
-
-    Runtime.resource = None
-    img_tpu, fb_tpu = run(HuffmanTpu, NativeLasData, tpc)
+    img_ref, fb_ref = _run_method(HuffmanMemIter, HuffmanLasData, huf)
+    img_tpu, fb_tpu = _run_method(HuffmanTpu, NativeLasData, tpc)
 
     from tests.fbcompare import assert_fb_close
 
     assert_fb_close(fb_tpu[0], fb_tpu[1], fb_ref[0], fb_ref[1])
     assert (img_tpu == img_ref).mean() > 0.995
+
+
+def test_native_hqs_matches_reference_hqs(paths):
+    """huffman_tpu_hqs image ~= huffman_hqs image on the same scene."""
+    from pcrhpg24_tpu.render.methods.huffman_hqs import HuffmanHQS
+    from pcrhpg24_tpu.render.methods.huffman_tpu_hqs import HuffmanTpuHqs
+
+    _las, huf, tpc = paths
+    Debug.lod = 1.0
+    img_ref, _ = _run_method(HuffmanHQS, HuffmanLasData, huf)
+    img_tpu, _ = _run_method(HuffmanTpuHqs, NativeLasData, tpc)
+    agree = (img_ref == img_tpu).mean()
+    assert agree > 0.99, f"HQS native vs reference agreement {agree}"
