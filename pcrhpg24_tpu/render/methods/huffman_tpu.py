@@ -86,12 +86,20 @@ def render_chunk_native(
     pid = pid.reshape(-1)
     depth = depth.reshape(-1)
     payload = payload.reshape(-1)
-    ok = ok.reshape(-1)
 
-    cd = jnp.full((size,), EMPTY, jnp.uint32).at[pid].min(depth, mode="drop")
-    winner = ok & (depth == cd[jnp.clip(pid, 0, size - 1)])
-    pid2 = jnp.where(winner, pid, size)
-    cp = jnp.full((size,), EMPTY, jnp.uint32).at[pid2].min(payload, mode="drop")
+    # sort-based exact resolve: lexicographic (pid, depth, payload) sort
+    # puts each pixel's u64-min winner first in its run; one plain
+    # scatter per plane then lands unique winners.  Measured faster than
+    # two scatter-mins + winner gather (experiments/NOTES.md).
+    spid, sdep, spay = jax.lax.sort(
+        [pid.astype(jnp.uint32), depth, payload], num_keys=3
+    )
+    head = jnp.concatenate(
+        [jnp.ones(1, bool), spid[1:] != spid[:-1]]
+    ) & (spid < size)
+    tgt = jnp.where(head, spid, jnp.uint32(size)).astype(jnp.int32)
+    cd = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(sdep, mode="drop")
+    cp = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(spay, mode="drop")
 
     better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
     fb_d = jnp.where(better, cd, fb_d)
