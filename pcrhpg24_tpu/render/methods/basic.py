@@ -14,7 +14,7 @@ import numpy as np
 
 from ...constants import POINTS_PER_WORKGROUP, RENDER_CHUNK_BATCHES
 from ...engine.method import Method, Runtime
-from ..raster import EMPTY, resolve
+from ..raster import EMPTY, resolve, sorted_scatter_u64_min
 from .loop_las import resolve_indexed
 
 CHUNK_PTS = RENDER_CHUNK_BATCHES * POINTS_PER_WORKGROUP
@@ -43,15 +43,7 @@ def raster_chunk_basic(
     pid = jnp.where(ok, sx + sy * width, size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
     payload = (base_index + jnp.arange(x.shape[0])).astype(jnp.uint32)
-    cd = jnp.full((size,), EMPTY, jnp.uint32).at[pid].min(depth, mode="drop")
-    winner = ok & (depth == cd[jnp.clip(pid, 0, size - 1)])
-    cp = (
-        jnp.full((size,), EMPTY, jnp.uint32)
-        .at[jnp.where(winner, pid, size)]
-        .min(payload, mode="drop")
-    )
-    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
-    return jnp.where(better, cd, fb_d), jnp.where(better, cp, fb_p)
+    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
 
 
 class BasicMethod(Method):

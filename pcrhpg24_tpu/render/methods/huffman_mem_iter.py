@@ -33,7 +33,7 @@ from ...engine.method import Method, Runtime
 from ..bc1_layout import bc1_payload_reference
 from ..camera import batches_in_frustum, frustum_planes, lod_points_per_thread
 from ..decode_jax import decode_batches_core
-from ..raster import EMPTY, project, resolve
+from ..raster import EMPTY, project, resolve, sorted_scatter_u64_min
 
 CHUNK = RENDER_CHUNK_BATCHES  # batches per device pass (16.7M points)
 
@@ -112,17 +112,7 @@ def render_chunk(
     pid = jnp.where(ok, px + py * width, size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
 
-    # chunk-local exact u64 min (two u32 passes)
-    cd = jnp.full((size,), EMPTY, jnp.uint32).at[pid].min(depth, mode="drop")
-    winner = ok & (depth == cd[jnp.clip(pid, 0, size - 1)])
-    pid2 = jnp.where(winner, pid, size)
-    cp = jnp.full((size,), EMPTY, jnp.uint32).at[pid2].min(pay, mode="drop")
-
-    # dense lexicographic merge into the running framebuffer
-    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
-    fb_d = jnp.where(better, cd, fb_d)
-    fb_p = jnp.where(better, cp, fb_p)
-    return fb_d, fb_p
+    return sorted_scatter_u64_min(pid, depth, pay, size, fb_d, fb_p)
 
 
 class HuffmanMemIter(Method):

@@ -21,7 +21,7 @@ from ...engine.method import Runtime
 from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_native_xla
 from ..pallas_decode import decode_native_batches
-from ..raster import EMPTY, resolve
+from ..raster import EMPTY, resolve, sorted_scatter_u64_min
 from ..camera import frame_setup_device
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 
@@ -87,24 +87,7 @@ def render_chunk_native(
     depth = depth.reshape(-1)
     payload = payload.reshape(-1)
 
-    # sort-based exact resolve: lexicographic (pid, depth, payload) sort
-    # puts each pixel's u64-min winner first in its run; one plain
-    # scatter per plane then lands unique winners.  Measured faster than
-    # two scatter-mins + winner gather (experiments/NOTES.md).
-    spid, sdep, spay = jax.lax.sort(
-        [pid.astype(jnp.uint32), depth, payload], num_keys=3
-    )
-    head = jnp.concatenate(
-        [jnp.ones(1, bool), spid[1:] != spid[:-1]]
-    ) & (spid < size)
-    tgt = jnp.where(head, spid, jnp.uint32(size)).astype(jnp.int32)
-    cd = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(sdep, mode="drop")
-    cp = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(spay, mode="drop")
-
-    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
-    fb_d = jnp.where(better, cd, fb_d)
-    fb_p = jnp.where(better, cp, fb_p)
-    return fb_d, fb_p
+    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
 
 
 @partial(

@@ -29,7 +29,7 @@ from ...constants import POINTS_PER_WORKGROUP, RENDER_CHUNK_BATCHES
 from ...engine.debug import Debug
 from ...engine.method import Method, Runtime
 from ..camera import batches_in_frustum, frustum_planes
-from ..raster import EMPTY, resolve
+from ..raster import EMPTY, resolve, sorted_scatter_u64_min
 
 CHUNK_PTS = RENDER_CHUNK_BATCHES * POINTS_PER_WORKGROUP
 STEPS_30BIT = float(1 << 30)
@@ -108,15 +108,7 @@ def raster_chunk_101010(
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
     payload = (base_index + jnp.arange(xyz4.shape[0])).astype(jnp.uint32)
 
-    cd = jnp.full((size,), EMPTY, jnp.uint32).at[pid].min(depth, mode="drop")
-    winner = ok & (depth == cd[jnp.clip(pid, 0, size - 1)])
-    cp = (
-        jnp.full((size,), EMPTY, jnp.uint32)
-        .at[jnp.where(winner, pid, size)]
-        .min(payload, mode="drop")
-    )
-    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
-    return jnp.where(better, cd, fb_d), jnp.where(better, cp, fb_p)
+    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

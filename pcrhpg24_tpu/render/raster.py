@@ -80,6 +80,28 @@ def rasterize(positions, payload, transform, width: int, height: int, mask=None)
     return scatter_u64_min(pid, depth, payload, width * height)
 
 
+def sorted_scatter_u64_min(pid, depth, payload, size: int, fb_d, fb_p):
+    """Exact u64 (depth<<32|payload) resolve via 3-key sort + head dedup.
+
+    Lexicographic sort puts each pixel's winner first in its run; one
+    plain unique-target scatter per plane then lands it.  ~2x faster on
+    TPU than two scatter-mins + a winner gather (experiments/NOTES.md);
+    semantics identical to scatter_u64_min (asserted in tests).
+    Out-of-range pids (masked points) sort to the end and drop.
+    """
+    spid, sdep, spay = jax.lax.sort(
+        [pid.astype(jnp.uint32), depth, payload], num_keys=3
+    )
+    head = jnp.concatenate([jnp.ones(1, bool), spid[1:] != spid[:-1]]) & (
+        spid < size
+    )
+    tgt = jnp.where(head, spid, jnp.uint32(size)).astype(jnp.int32)
+    cd = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(sdep, mode="drop")
+    cp = jnp.full((size,), EMPTY, jnp.uint32).at[tgt].set(spay, mode="drop")
+    better = (cd < fb_d) | ((cd == fb_d) & (cp < fb_p))
+    return jnp.where(better, cd, fb_d), jnp.where(better, cp, fb_p)
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def resolve(fb_payload, width: int, height: int):
     """Framebuffer -> (H, W) u32 RGBA image (resolve.cu:149-191)."""
