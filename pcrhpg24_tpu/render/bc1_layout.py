@@ -46,18 +46,18 @@ def _palette_select(w0, w1, sel_shift):
     return chan(r0, r1) | (chan(g0, g1) << 8) | (chan(b0, b1) << 16)
 
 
-def bc1_payload_native(colors, shape):
-    """colors (C, 8192) u32 -> payload (C, 64, 8, 128) u32 for the native
-    kernel point layout."""
+def bc1_payload_native(colors, shape, points: int = 64):
+    """colors (C, 8192) u32 -> payload (C, points, 8, 128) u32 for the
+    native kernel point layout (points <= 64: LOD-bucketed decode)."""
     C = colors.shape[0]
     blocks = colors.reshape(C, 8, 128, 4, 2)  # (batch, g, lane, block, word)
     w0 = blocks[..., 0]  # (C, 8, 128, 4)
     w1 = blocks[..., 1]
     # point i selects block i//16 (= repeat each block 16x) and
     # selector bits 2*(i%16)
-    i = jnp.arange(64)
-    w0p = jnp.repeat(w0, 16, axis=-1)  # (C, 8, 128, 64)
-    w1p = jnp.repeat(w1, 16, axis=-1)
+    i = jnp.arange(points)
+    w0p = jnp.repeat(w0, 16, axis=-1)[..., :points]  # (C, 8, 128, points)
+    w1p = jnp.repeat(w1, 16, axis=-1)[..., :points]
     sel_shift = (2 * (i % 16)).astype(jnp.uint32)[None, None, None, :]
     pay = _palette_select(
         w0p.astype(jnp.uint32), w1p.astype(jnp.uint32), sel_shift

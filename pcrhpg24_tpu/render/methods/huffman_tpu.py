@@ -33,6 +33,7 @@ CHUNK = 64
 def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
     width: int, height: int, mode: str, fb_d, fb_p, use_pallas: bool = True,
+    points: int = POINTS_PER_THREAD,
 ):
     C = CHUNK
     decode = decode_native_batches if use_pallas else decode_native_xla
@@ -43,7 +44,8 @@ def render_chunk_native(
         _slice_rows(dev["dD"], chunk_start, C),
         _slice_rows(dev["lut"], chunk_start, C),
         _slice_rows(dev["starts"], chunk_start, C),
-    )  # (C, 64, 3, 8, 128) i32
+        points=points,
+    )  # (C, points, 3, 8, 128) i32
     colors = _slice_rows(dev["colors"], chunk_start, C)
     n_chunk = _slice_rows(lod_n, chunk_start, C)
 
@@ -60,7 +62,7 @@ def render_chunk_native(
     ndc_x = cx / w
     ndc_y = cy / w
     shp = xs.shape  # (C, 64, 8, 128)
-    pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
+    pt_idx = jnp.arange(points, dtype=jnp.int32)
     mask = jnp.broadcast_to(
         pt_idx[None, :, None, None] < n_chunk[:, None, None, None], shp
     )
@@ -81,7 +83,7 @@ def render_chunk_native(
             n_chunk.astype(jnp.uint32)[:, None, None, None], shp
         )
     else:
-        payload = bc1_payload_native(colors, shp).astype(jnp.uint32)
+        payload = bc1_payload_native(colors, shp, points).astype(jnp.uint32)
 
     pid = pid.reshape(-1)
     depth = depth.reshape(-1)
@@ -92,12 +94,13 @@ def render_chunk_native(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "mode", "use_pallas", "nchunks", "cull"),
+    static_argnames=("width", "height", "mode", "use_pallas", "nchunks",
+                     "cull", "points"),
 )
 def render_frame_native(
     dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
-    cull: bool,
+    cull: bool, points: int = POINTS_PER_THREAD,
 ):
     """Whole frame in one dispatch: cull/LOD + fb init + chunks + resolve.
 
@@ -119,7 +122,7 @@ def render_frame_native(
     for c in range(nchunks):
         fb_d, fb_p = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, mode, fb_d, fb_p, use_pallas,
+            width, height, mode, fb_d, fb_p, use_pallas, points,
         )
     if mode == "colorize_chunks":
         img = jnp.where(
@@ -179,10 +182,17 @@ class HuffmanTpu(HuffmanMemIter):
         fp[22] = Debug.lod
         fp[23] = float(B)
         fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+        # LOD bucket: decode only ceil(max_lod/16)*16 points per chain
+        # (static-shape variant of render.cu:428's early loop exit);
+        # shrinks decode AND sort/scatter volume when zoomed out
+        _, lod_full = self.frame_setup(renderer)
+        max_lod = int(lod_full.max()) if B else POINTS_PER_THREAD
+        points = max(16, -(-max_lod // 16) * 16)
         fb_d, fb_p, img = render_frame_native(
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
+            points,
         )
         renderer.last_fb = (fb_d, fb_p)
         if Debug.show_bounding_box:

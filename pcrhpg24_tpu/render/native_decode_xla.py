@@ -21,7 +21,8 @@ _U = jnp.uint32
 _I = jnp.int32
 
 
-def decode_native_xla(lj, streams, ptrs, dD, lut, starts):
+def decode_native_xla(lj, streams, ptrs, dD, lut, starts,
+                      points: int = POINTS_PER_THREAD):
     """Same signature/layout as pallas_decode.decode_native_batches."""
     B, _, maxw = streams.shape
     flat = streams.reshape(-1)  # (B*G*maxw,)
@@ -87,6 +88,6 @@ def decode_native_xla(lj, streams, ptrs, dD, lut, starts):
         return (cur, nxt, bitpos, px, py, pz), jnp.stack([px, py, pz], axis=1)
 
     init = (cur, nxt, bitpos, starts[:, 0], starts[:, 1], starts[:, 2])
-    _, ys = jax.lax.scan(point_step, init, jnp.arange(POINTS_PER_THREAD))
+    _, ys = jax.lax.scan(point_step, init, jnp.arange(points))
     # ys: (64, B, 3, G, 128) -> (B, 64, 3, G, 128)
     return jnp.transpose(ys, (1, 0, 2, 3, 4))

@@ -48,14 +48,19 @@ def _mk_lt():
     return (r < c).astype(jnp.bfloat16)
 
 
-def _decode_kernel(
+def _make_decode_kernel(points):
+    return functools.partial(_decode_kernel_impl, points=points)
+
+
+def _decode_kernel_impl(
     lj_ref,  # SMEM (1, 1, 32) i32: lj_limit[1..12] at [0:12], dD deltas at [16:28], dD[1] at [28]
     stream_ref,  # VMEM (1, 8, MAXW) u32 group streams
     ptr_ref,  # SMEM (1, 384, 8) i32 per-round window pointers
     dD_ref,  # VMEM (1, 1, 128) i32: base_idx[L]-first_code[L] at [L], L=1..12
     lut_ref,  # VMEM (1, 1, 128) i32: sym_idx -> bucket
     start_ref,  # VMEM (1, 3, 8, 128) i32 chain start values
-    out_ref,  # VMEM (1, 64, 3, 8, 128) i32 absolute coords
+    out_ref,  # VMEM (1, points, 3, 8, 128) i32 absolute coords
+    points=POINTS_PER_THREAD,
 ):
     lt = _mk_lt()
     del dD_ref  # dD now folded into the lj scalar row
@@ -159,14 +164,20 @@ def _decode_kernel(
         start_ref[0, 1],
         start_ref[0, 2],
     )
-    jax.lax.fori_loop(0, POINTS_PER_THREAD, point_step, init)
+    jax.lax.fori_loop(0, points, point_step, init)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "points"))
+def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False,
+                          points: int = POINTS_PER_THREAD):
     """lj (B,1,16) i32, streams (B,8,MAXW) u32, ptrs (B,384,8) i32,
     dD (B,1,128) i32, lut (B,1,128) i32, starts (B,3,8,128) i32
-    -> (B, 64, 3, 8, 128) i32 absolute coords."""
+    -> (B, points, 3, 8, 128) i32 absolute coords.
+
+    `points` < 64 decodes only the first `points` of every chain — the
+    TPU mapping of the reference's LOD loop-trip reduction
+    (render.cu:428 `i < NumPointsToRender`), bucketed to static shapes.
+    """
     B = streams.shape[0]
     maxw = streams.shape[2]
     grid = (B,)
@@ -175,7 +186,7 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
         return pl.BlockSpec((1,) + shape, lambda b: (b,) + (0,) * len(shape))
 
     return pl.pallas_call(
-        _decode_kernel,
+        _make_decode_kernel(points),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 32), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -186,11 +197,9 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False):
             pl.BlockSpec((1, 3, G, LANES), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, POINTS_PER_THREAD, 3, G, LANES), lambda b: (b, 0, 0, 0, 0)
+            (1, points, 3, G, LANES), lambda b: (b, 0, 0, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, POINTS_PER_THREAD, 3, G, LANES), jnp.int32
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, points, 3, G, LANES), jnp.int32),
         interpret=interpret,
     )(lj, streams, ptrs, dD, lut, starts)
 

@@ -109,3 +109,48 @@ def test_native_hqs_matches_reference_hqs(paths):
     img_tpu, _ = _run_method(HuffmanTpuHqs, NativeLasData, tpc)
     agree = (img_ref == img_tpu).mean()
     assert agree > 0.99, f"HQS native vs reference agreement {agree}"
+
+
+def test_lod_bucketed_decode_matches_full(paths):
+    """Zoomed out, bucketed decode must render the same image as a full
+    64-point decode (the extra points are LOD-masked either way)."""
+    import jax.numpy as jnp
+
+    from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
+
+    _las, _huf, tpc = paths
+    Debug.lod = 0.1
+    data = NativeLasData.create(tpc)
+    r = Renderer(W, H)
+    r.apply_setting(
+        Setting(yaw=0.7, pitch=-0.7, radius=9000.0, target=(450, 450, 100))
+    )
+    m = HuffmanTpu(r, data)
+    m.update(r)
+    data.wait_loaded(r)
+    r.controls_update()
+    _wvp, lod_full = m.frame_setup(r)
+    max_lod = int(lod_full.max())
+    assert 0 < max_lod < 64, f"scene should be LOD-reduced (max {max_lod})"
+
+    cam = r.camera
+    fp = np.zeros(40, np.float32)
+    fp[0:16] = cam.view().astype(np.float32).reshape(-1)
+    fp[16:22] = cam.proj_params().astype(np.float32)
+    fp[22] = Debug.lod
+    fp[23] = float(data.num_batches_loaded)
+    fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+    consts = (
+        jnp.asarray(data.scale, jnp.float32),
+        jnp.asarray(data.offset - data.las_min, jnp.float32),
+    )
+    kw = dict(width=W, height=H, mode="color", nchunks=1, use_pallas=False,
+              cull=True)
+    bucket = max(16, -(-max_lod // 16) * 16)
+    _d1, p1, img1 = render_frame_native(data.dev, jnp.asarray(fp), *consts,
+                                        points=bucket, **kw)
+    _d2, p2, img2 = render_frame_native(data.dev, jnp.asarray(fp), *consts,
+                                        points=64, **kw)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    data.unload(r)
+    Debug.lod = 0.1
