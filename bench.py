@@ -117,7 +117,7 @@ def main() -> int:
         fpd = jnp.asarray(fp)
         kw = dict(width=W, height=H, mode="color",
                   nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
-                  cull=True)
+                  cull=True, need_depth=False)
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(dev, fp, scale, offset_rel, k):

@@ -143,6 +143,8 @@ def main(argv=None):
     method = Runtime.selected
     print(f"rendering {args.frames} frame(s) with {method.name}")
 
+    if args.depth:
+        renderer.capture_depth = True
     method.update(renderer)
     if hasattr(method, "las"):
         method.las.wait_loaded(renderer)

@@ -42,6 +42,11 @@ class Renderer:
         self.frame_count = 0
         self.last_image = None
         self.last_fb = None
+        # when False, color-only methods may skip materializing the dense
+        # depth plane (render_frame_native need_depth) — the image is
+        # identical; set True before rendering if save_depth_exr or a
+        # depth-consuming pass will read last_fb[0].
+        self.capture_depth = False
 
     def set_size(self, width: int, height: int) -> None:
         self.width = width
@@ -93,6 +98,11 @@ class Renderer:
         if self.last_fb is None:
             raise RuntimeError("no framebuffer available")
         fb_d, _ = self.last_fb
+        if fb_d is None:
+            raise RuntimeError(
+                "depth plane not captured; set renderer.capture_depth = True "
+                "before rendering the frame"
+            )
         d = np.asarray(fb_d).view(np.float32).reshape(self.height, self.width)
         d = np.where(
             np.asarray(fb_d).reshape(self.height, self.width) == 0xFFFFFFFF, 0.0, d

@@ -21,7 +21,7 @@ from ...engine.method import Runtime
 from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_native_xla
 from ..pallas_decode import decode_native_batches
-from ..raster import EMPTY, resolve, sorted_scatter_u64_min
+from ..raster import EMPTY, resolve, sorted_resolve_u64_min
 from ..camera import frame_setup_device
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 
@@ -32,9 +32,15 @@ CHUNK = 64
 
 def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
-    width: int, height: int, mode: str, fb_d, fb_p, use_pallas: bool = True,
+    width: int, height: int, mode: str, use_pallas: bool = True,
     points: int = POINTS_PER_THREAD,
 ):
+    """Decode + project one chunk; returns flat (pid, depth, payload).
+
+    Chunks no longer resolve individually: the frame concatenates every
+    chunk's streams and resolves once (one global sort preserves the
+    exact u64-min winner across chunks without per-chunk depth planes).
+    """
     C = CHUNK
     decode = decode_native_batches if use_pallas else decode_native_xla
     coords = decode(
@@ -85,28 +91,29 @@ def render_chunk_native(
     else:
         payload = bc1_payload_native(colors, shp, points).astype(jnp.uint32)
 
-    pid = pid.reshape(-1)
-    depth = depth.reshape(-1)
-    payload = payload.reshape(-1)
-
-    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
+    return pid.reshape(-1), depth.reshape(-1), payload.reshape(-1)
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "mode", "use_pallas", "nchunks",
-                     "cull", "points"),
+                     "cull", "points", "need_depth"),
 )
 def render_frame_native(
     dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
-    cull: bool, points: int = POINTS_PER_THREAD,
+    cull: bool, points: int = POINTS_PER_THREAD, need_depth: bool = True,
 ):
-    """Whole frame in one dispatch: cull/LOD + fb init + chunks + resolve.
+    """Whole frame in one dispatch: cull/LOD + chunks + one global resolve.
 
     frame_params: (40,) f32 — view(16) | proj_params(6) | lod_floor | B |
     wvp(16, host-computed in f64 then cast: keeps depth bits identical to
     the host-transform methods) — the frame's only host->device transfer.
+
+    `need_depth=False` skips the dense depth-plane scatter (~40% of the
+    frame at 4M points); the image is bit-identical either way, only
+    fb_d comes back as None.  Interactive color frames use False; HQS,
+    depth dumps, and exactness tests use True.
     """
     view = frame_params[0:16].reshape(4, 4)
     proj_params = frame_params[16:22]
@@ -117,13 +124,21 @@ def render_frame_native(
     )
     transform = frame_params[24:40].reshape(4, 4)
     size = width * height
-    fb_d = jnp.full((size,), EMPTY, jnp.uint32)
-    fb_p = jnp.full((size,), EMPTY, jnp.uint32)
+    pids, deps, pays = [], [], []
     for c in range(nchunks):
-        fb_d, fb_p = render_chunk_native(
+        pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, mode, fb_d, fb_p, use_pallas, points,
+            width, height, mode, use_pallas, points,
         )
+        pids.append(pid_c)
+        deps.append(dep_c)
+        pays.append(pay_c)
+    fb_d, fb_p = sorted_resolve_u64_min(
+        jnp.concatenate(pids) if nchunks > 1 else pids[0],
+        jnp.concatenate(deps) if nchunks > 1 else deps[0],
+        jnp.concatenate(pays) if nchunks > 1 else pays[0],
+        size, need_depth,
+    )
     if mode == "colorize_chunks":
         img = jnp.where(
             fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)
@@ -188,11 +203,12 @@ class HuffmanTpu(HuffmanMemIter):
         _, lod_full = self.frame_setup(renderer)
         max_lod = int(lod_full.max()) if B else POINTS_PER_THREAD
         points = max(16, -(-max_lod // 16) * 16)
+        need_depth = bool(getattr(renderer, "capture_depth", False))
         fb_d, fb_p, img = render_frame_native(
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
-            points,
+            points, need_depth,
         )
         renderer.last_fb = (fb_d, fb_p)
         if Debug.show_bounding_box:

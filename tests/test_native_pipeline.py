@@ -71,6 +71,7 @@ def _run_method(method_cls, data_cls, path):
 
     Runtime.resource = None
     r = Renderer(W, H)
+    r.capture_depth = True  # fb comparisons below read the depth plane
     r.apply_setting(
         Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
     )
