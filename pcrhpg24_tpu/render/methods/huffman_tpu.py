@@ -137,7 +137,7 @@ def render_frame_native(
         jnp.concatenate(pids) if nchunks > 1 else pids[0],
         jnp.concatenate(deps) if nchunks > 1 else deps[0],
         jnp.concatenate(pays) if nchunks > 1 else pays[0],
-        size, need_depth,
+        size, need_depth, use_pallas,
     )
     if mode == "colorize_chunks":
         img = jnp.where(

@@ -103,7 +103,8 @@ def sorted_scatter_u64_min(pid, depth, payload, size: int, fb_d, fb_p):
 
 
 def sorted_resolve_u64_min(pid, depth, payload, size: int,
-                           need_depth: bool = True):
+                           need_depth: bool = True,
+                           use_pallas: bool = False):
     """Whole-frame exact u64-min resolve into a fresh framebuffer.
 
     Same winner semantics as sorted_scatter_u64_min, but for the case
@@ -120,6 +121,12 @@ def sorted_resolve_u64_min(pid, depth, payload, size: int,
     spid, sdep, spay = jax.lax.sort(
         [pid.astype(jnp.uint32), depth, payload], num_keys=3
     )
+    if use_pallas and spid.shape[0] % 1024 == 0:
+        # scatter-free dense construction: TPU scatter is serialized at
+        # ~4.8 ns/slot; the Pallas monotone-merge kernel is 4-6x faster
+        from .pallas_merge import dense_from_sorted
+
+        return dense_from_sorted(spid, sdep, spay, size, need_depth)
     head = jnp.concatenate([jnp.ones(1, bool), spid[1:] != spid[:-1]]) & (
         spid < size
     )
