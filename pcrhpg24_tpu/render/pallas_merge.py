@@ -38,8 +38,20 @@ LANES = 128
 SUBS = 8  # TILE // LANES
 
 
-def _flat_gather(x, pos):
-    """x (8,128) i32, pos (8,128) flat indices in [0,1024) -> x[pos].
+def _rows_of(x):
+    """x (8,128) -> list of 8 (8,128) sublane-broadcasts (one per row).
+
+    Hoisted out of _flat_gather so repeated gathers on the same tile
+    (the 10 binary-search probes all hit the pid plane) reuse them.
+    """
+    return [
+        jax.lax.broadcast_in_dim(x[s, :], (SUBS, LANES), (1,))
+        for s in range(SUBS)
+    ]
+
+
+def _flat_gather(rows, pos):
+    """rows = _rows_of(x); pos (8,128) flat indices in [0,1024) -> x[pos].
 
     Row-major flat index: entry k lives at (k // 128, k % 128).  TPU has
     no 2-D in-tile gather; compose one lane-gather per source sublane
@@ -47,23 +59,27 @@ def _flat_gather(x, pos):
     """
     col = jnp.bitwise_and(pos, LANES - 1)
     row = jnp.right_shift(pos, 7)
-    out = jnp.zeros_like(x)
+    out = jnp.zeros((SUBS, LANES), jnp.int32)
     for s in range(SUBS):
-        rowdata = jax.lax.broadcast_in_dim(x[s, :], (SUBS, LANES), (1,))
-        cand = jnp.take_along_axis(rowdata, col, axis=1)
+        cand = jnp.take_along_axis(rows[s], col, axis=1)
         hit = (row == s).astype(jnp.int32)
         out = (hit * cand) | ((1 - hit) * out)
     return out
 
 
-def _merge_kernel(firstwin_ref, nwin_ref, spid_hbm, sdep_hbm, spay_hbm,
-                  outd_ref, outp_ref, wpid, wdep, wpay, sems,
-                  *, need_depth: bool):
+def _merge_kernel(firstwin_ref, nwin_ref, *rest, need_depth: bool):
+    if need_depth:
+        (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
+         wpid, wdep, wpay, sems) = rest
+    else:
+        spid_hbm, spay_hbm, outp_ref, wpid, wpay, sems = rest
+        sdep_hbm = wdep = outd_ref = None
     t = pl.program_id(0)
     base = t * TILE
     empty = jnp.full((SUBS, LANES), -1, jnp.int32)
     outp_ref[...] = empty
-    outd_ref[...] = empty
+    if need_depth:
+        outd_ref[...] = empty
 
     tgt = (
         base
@@ -74,41 +90,57 @@ def _merge_kernel(firstwin_ref, nwin_ref, spid_hbm, sdep_hbm, spay_hbm,
     fw = firstwin_ref[t]
     nw = nwin_ref[t]
 
-    def body(w, found):
+    def dmas(w, slot):
         r0 = (fw + w) * SUBS
-        cp = pltpu.make_async_copy(
-            spid_hbm.at[pl.ds(r0, SUBS), :], wpid, sems.at[0]
-        )
-        cd = pltpu.make_async_copy(
-            sdep_hbm.at[pl.ds(r0, SUBS), :], wdep, sems.at[1]
-        )
-        ca = pltpu.make_async_copy(
-            spay_hbm.at[pl.ds(r0, SUBS), :], wpay, sems.at[2]
-        )
-        cp.start()
-        cd.start()
-        ca.start()
-        cp.wait()
-        pid = wpid[...]
+        cps = [
+            pltpu.make_async_copy(
+                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot], sems.at[slot, 1]
+            ),
+        ]
+        if need_depth:
+            cps.append(pltpu.make_async_copy(
+                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot], sems.at[slot, 2]
+            ))
+        return cps
+
+    @pl.when(nw > 0)
+    def _prologue():
+        for c in dmas(0, 0):
+            c.start()
+
+    def body(w, found):
+        slot = jax.lax.rem(w, 2)
+
+        @pl.when(w + 1 < nw)
+        def _prefetch():
+            for c in dmas(w + 1, 1 - slot):
+                c.start()
+
+        cps = dmas(w, slot)
+        cps[0].wait()
+        pidrows = _rows_of(wpid[slot])
 
         # lower_bound(pid_sorted_window, tgt) for all 1024 targets:
         # pid values are pixel ids (< 2^31 as i32) except the OOB
         # sentinel `size`, still < 2^31 for any real framebuffer.
         pos = jnp.zeros((SUBS, LANES), jnp.int32)
         for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-            probe = _flat_gather(pid, pos + (b - 1))
+            probe = _flat_gather(pidrows, pos + (b - 1))
             pos = pos + (probe < tgt).astype(jnp.int32) * b
         posc = jnp.minimum(pos, TILE - 1)
-        hitpid = _flat_gather(pid, posc)
+        hitpid = _flat_gather(pidrows, posc)
         take = ((hitpid == tgt) & (found == 0)).astype(jnp.int32)
         keep = 1 - take
 
-        cd.wait()
-        ca.wait()
-        pay = _flat_gather(wpay[...], posc)
+        for c in cps[1:]:
+            c.wait()
+        pay = _flat_gather(_rows_of(wpay[slot]), posc)
         outp_ref[...] = (take * pay) | (keep * outp_ref[...])
         if need_depth:
-            dep = _flat_gather(wdep[...], posc)
+            dep = _flat_gather(_rows_of(wdep[slot]), posc)
             outd_ref[...] = (take * dep) | (keep * outd_ref[...])
         return found | take
 
@@ -140,32 +172,26 @@ def dense_from_sorted(spid, sdep, spay, size: int, need_depth: bool = True,
         x.astype(jnp.uint32), jnp.int32
     ).reshape(n // LANES, LANES)
     kern = partial(_merge_kernel, need_depth=need_depth)
-    outd, outp = pl.pallas_call(
+    nplanes = 3 if need_depth else 2
+    outspec = pl.BlockSpec((SUBS, LANES), lambda i: (i, 0))
+    outshape = jax.ShapeDtypeStruct((ntiles * SUBS, LANES), jnp.int32)
+    win = pltpu.VMEM((2, SUBS, LANES), jnp.int32)
+    outs = pl.pallas_call(
         kern,
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((SUBS, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((SUBS, LANES), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ntiles * SUBS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles * SUBS, LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((SUBS, LANES), jnp.int32),
-            pltpu.VMEM((SUBS, LANES), jnp.int32),
-            pltpu.VMEM((SUBS, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nplanes,
+        out_specs=[outspec] * (2 if need_depth else 1),
+        out_shape=[outshape] * (2 if need_depth else 1),
+        scratch_shapes=[win] * nplanes
+        + [pltpu.SemaphoreType.DMA((2, nplanes))],
         interpret=interpret,
-    )(first_win, nwin, as_i32(spid), as_i32(sdep), as_i32(spay))
+    )(
+        first_win, nwin,
+        *([as_i32(spid), as_i32(sdep), as_i32(spay)] if need_depth
+          else [as_i32(spid), as_i32(spay)]),
+    )
+    outd, outp = outs if need_depth else (None, outs[0])
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         size_pad
