@@ -79,14 +79,29 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     transform = frame_params[24:40].reshape(4, 4)
     size = width * height
 
-    fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
+    # depth prepass: per-pixel min depth.  On TPU: one 2-key sort + the
+    # scatter-free merge kernel (payload = the depth bits themselves, so
+    # the run head IS the min depth); scatter-min on CPU.
+    prepass = []
     for c in range(nchunks):
         pid, w, _rgba, _ok = _project_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
             width, height, use_pallas,
         )
         depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
-        fb_depth = fb_depth.at[pid].min(depth, mode="drop")
+        prepass.append((pid, depth))
+    pid_all = jnp.concatenate([p for p, _ in prepass]) if nchunks > 1 else prepass[0][0]
+    dep_all = jnp.concatenate([d for _, d in prepass]) if nchunks > 1 else prepass[0][1]
+    if use_pallas and pid_all.shape[0] % 1024 == 0:
+        from ..pallas_merge import dense_from_sorted
+
+        spid, sdep = jax.lax.sort(
+            [pid_all.astype(jnp.uint32), dep_all], num_keys=2
+        )
+        _none, fb_depth = dense_from_sorted(spid, sdep, sdep, size, False)
+    else:
+        fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
+        fb_depth = fb_depth.at[pid_all].min(dep_all, mode="drop")
 
     acc_r = jnp.zeros((size,), jnp.uint32)
     acc_g = jnp.zeros((size,), jnp.uint32)
