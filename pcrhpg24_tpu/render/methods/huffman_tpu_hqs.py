@@ -96,7 +96,7 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
         from ..pallas_merge import dense_from_sorted
 
         spid, sdep = jax.lax.sort(
-            [pid_all.astype(jnp.uint32), dep_all], num_keys=2
+            [pid_all.astype(jnp.uint32), dep_all], num_keys=2, is_stable=False
         )
         _none, fb_depth = dense_from_sorted(spid, sdep, sdep, size, False)
     else:

@@ -90,7 +90,7 @@ def sorted_scatter_u64_min(pid, depth, payload, size: int, fb_d, fb_p):
     Out-of-range pids (masked points) sort to the end and drop.
     """
     spid, sdep, spay = jax.lax.sort(
-        [pid.astype(jnp.uint32), depth, payload], num_keys=3
+        [pid.astype(jnp.uint32), depth, payload], num_keys=3, is_stable=False
     )
     head = jnp.concatenate([jnp.ones(1, bool), spid[1:] != spid[:-1]]) & (
         spid < size
@@ -119,7 +119,7 @@ def sorted_resolve_u64_min(pid, depth, payload, size: int,
     drop one.
     """
     spid, sdep, spay = jax.lax.sort(
-        [pid.astype(jnp.uint32), depth, payload], num_keys=3
+        [pid.astype(jnp.uint32), depth, payload], num_keys=3, is_stable=False
     )
     if use_pallas and spid.shape[0] % 1024 == 0:
         # scatter-free dense construction: TPU scatter is serialized at
