@@ -67,7 +67,8 @@ def _flat_gather(rows, pos):
     return out
 
 
-def _merge_kernel(firstwin_ref, nwin_ref, *rest, need_depth: bool):
+def _merge_kernel(firstrow_ref, nwin_ref, *rest, need_depth: bool,
+                  nrows: int):
     if need_depth:
         (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
          wpid, wdep, wpay, sems) = rest
@@ -87,11 +88,13 @@ def _merge_kernel(firstwin_ref, nwin_ref, *rest, need_depth: bool):
         + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
     )
 
-    fw = firstwin_ref[t]
+    fr = firstrow_ref[t]
     nw = nwin_ref[t]
 
     def dmas(w, slot):
-        r0 = (fw + w) * SUBS
+        # clamp so the last window never reads past the stream end; the
+        # duplicated rows it may re-read match first-match idempotently
+        r0 = jnp.minimum(fr + w * SUBS, nrows - SUBS)
         cps = [
             pltpu.make_async_copy(
                 spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
@@ -164,14 +167,18 @@ def dense_from_sorted(spid, sdep, spay, size: int, need_depth: bool = True,
     bounds = jnp.arange(ntiles + 1, dtype=jnp.uint32) * TILE
     starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
     s0, s1 = starts[:-1], starts[1:]
-    first_win = s0 // TILE
-    last_win = jnp.maximum(s1 - 1, 0) // TILE
-    nwin = jnp.where(s1 > s0, last_win - first_win + 1, 0)
+    # windows start at the 128-entry (one VREG row) boundary at or below
+    # the tile's first entry — row granularity wastes at most 127 foreign
+    # entries per tile vs up to 1023 for full-window alignment
+    first_row = s0 // LANES
+    span = s1 - first_row * LANES
+    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     ).reshape(n // LANES, LANES)
-    kern = partial(_merge_kernel, need_depth=need_depth)
+    kern = partial(_merge_kernel, need_depth=need_depth,
+                   nrows=n // LANES)
     nplanes = 3 if need_depth else 2
     outspec = pl.BlockSpec((SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles * SUBS, LANES), jnp.int32)
@@ -187,7 +194,7 @@ def dense_from_sorted(spid, sdep, spay, size: int, need_depth: bool = True,
         + [pltpu.SemaphoreType.DMA((2, nplanes))],
         interpret=interpret,
     )(
-        first_win, nwin,
+        first_row, nwin,
         *([as_i32(spid), as_i32(sdep), as_i32(spay)] if need_depth
           else [as_i32(spid), as_i32(spay)]),
     )
