@@ -23,7 +23,7 @@ import numpy as np
 from ...engine.method import Method
 from ...engine.resource import Resource, ResourceState
 from ...tools.potree_to_wg import read_wg
-from ..raster import EMPTY, resolve, sorted_scatter_u64_min
+from ..raster import EMPTY, resolve, sorted_resolve_u64_min
 from .loop_las import resolve_indexed
 
 
@@ -127,9 +127,10 @@ def _render_wg(words, colors, bits, base_bit, bmin, bmax, transform,
     pid = jnp.where(ok, sx + sy * width, size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
     payload = jnp.arange(n, dtype=jnp.uint32)
-    fb_d = jnp.full((size,), EMPTY, jnp.uint32)
-    fb_p = jnp.full((size,), EMPTY, jnp.uint32)
-    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
+    fb_d, fb_p = sorted_resolve_u64_min(
+        pid, depth, payload, size, True, jax.default_backend() == "tpu"
+    )
+    return fb_d, fb_p
 
 
 class ComputeLoopNodesCompressed(Method):

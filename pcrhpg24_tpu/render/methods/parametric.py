@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...engine.method import Method
-from ..raster import EMPTY, resolve, sorted_scatter_u64_min
+from ..raster import EMPTY, resolve, sorted_resolve_u64_min
 
 N_U, N_V = 2048, 1024  # 2M generated points per frame
 
@@ -65,9 +65,10 @@ def render_parametric(transform, surface: str, width: int, height: int):
     size = width * height
     pid = jnp.where(ok, sx + sy * width, size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
-    fb_d = jnp.full((size,), EMPTY, jnp.uint32)
-    fb_p = jnp.full((size,), EMPTY, jnp.uint32)
-    return sorted_scatter_u64_min(pid, depth, rgba, size, fb_d, fb_p)
+    fb_d, fb_p = sorted_resolve_u64_min(
+        pid, depth, rgba, size, True, jax.default_backend() == "tpu"
+    )
+    return fb_d, fb_p
 
 
 class Parametric(Method):
