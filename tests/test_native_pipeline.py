@@ -155,3 +155,38 @@ def test_lod_bucketed_decode_matches_full(paths):
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
     data.unload(r)
     Debug.lod = 0.1
+
+
+def test_capture_depth_gate(paths, tmp_path):
+    """Color frames skip the depth plane; capture_depth opts back in.
+
+    The image must be identical either way (need_depth only controls
+    whether fb_d materializes), and save_depth_exr must refuse to dump
+    a plane that was never captured instead of writing garbage.
+    """
+    _las, _huf, tpc = paths
+    Debug.lod = 1.0
+    from pcrhpg24_tpu.engine.method import Runtime
+
+    Runtime.resource = None
+    data = NativeLasData.create(tpc)
+    r = Renderer(W, H)
+    r.apply_setting(
+        Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
+    )
+    m = HuffmanTpu(r, data)
+    m.update(r)
+    data.wait_loaded(r)
+
+    img_nodepth = np.asarray(r.loop(m.update, m.render, frames=1))
+    assert r.last_fb[0] is None
+    with pytest.raises(RuntimeError, match="capture_depth"):
+        r.save_depth_exr(str(tmp_path / "d.npy"))
+
+    r.capture_depth = True
+    img_depth = np.asarray(r.loop(m.update, m.render, frames=1))
+    assert r.last_fb[0] is not None
+    r.save_depth_exr(str(tmp_path / "d.npy"))
+    assert (np.load(str(tmp_path / "d.npy")) != 0).any()
+    np.testing.assert_array_equal(img_nodepth, img_depth)
+    data.unload(r)
