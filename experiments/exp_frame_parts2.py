@@ -39,13 +39,13 @@ def frame(stage, dev, frame_params, scale, offset_rel):
                                         W, H, "color", True, 64)
     if stage == "planes":
         return (pid[0] + dep[0] + pay[0]).astype(jnp.uint32)
-    spid, sdep, spay = jax.lax.sort([pid.astype(jnp.uint32), dep, pay], num_keys=3)
+    spid, sdep, spay = jax.lax.sort([pid.astype(jnp.uint32), dep, pay], num_keys=3, is_stable=False)
     if stage == "sort":
         return spid[0] + sdep[0] + spay[0]
     fd, fpb = dense_from_sorted(spid, sdep, spay, size, False)
     return fpb[0]
 
-for stage in ("planes",):
+for stage in ("sort", "full"):
     f = jax.jit(functools.partial(frame, stage))
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(fpd, scale, offset_rel, k, f=f):
