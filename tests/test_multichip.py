@@ -7,7 +7,11 @@ import pytest
 from jax.sharding import Mesh
 
 from __graft_entry__ import _tiny_scene
-from pcrhpg24_tpu.parallel.mesh import _local_raster, make_multichip_render
+from pcrhpg24_tpu.parallel.mesh import (
+    _local_raster,
+    make_multichip_render,
+    shard_streams_host,
+)
 from pcrhpg24_tpu.render.decode_jax import decode_batches_core
 
 
@@ -24,23 +28,34 @@ def test_sharded_matches_single():
     lod_n = jnp.full((dp,), 64, jnp.int32)
     scale = jnp.asarray([0.01, 0.01, 0.01], jnp.float32)
     offset_rel = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
-    args = (
+
+    sharded = shard_streams_host({k: np.asarray(v) for k, v in scene.items()}, dp)
+    # each shard holds only its own stream bytes (1 batch here)
+    assert sharded["encoding"].shape[0] == dp
+    assert sharded["encoding"].size < np.asarray(scene["encoding"]).size * dp
+    args_sh = (
+        jnp.asarray(sharded["encoding"]), jnp.asarray(sharded["enc_offsets"]),
+        scene["cluster_sizes"],
+        jnp.asarray(sharded["separate"]), jnp.asarray(sharded["sep_offsets"]),
+        scene["separate_sizes"], scene["table_values"], scene["table_cw_len"],
+        scene["start_values"], lod_n, transform, scale, offset_rel,
+    )
+
+    img_sharded = np.asarray(jax.jit(make_multichip_render(mesh, W, H))(*args_sh))
+
+    # single-device reference (flat streams, global payload ids)
+    coords = decode_batches_core(
         scene["encoding"], scene["enc_offsets"], scene["cluster_sizes"],
         scene["separate"], scene["sep_offsets"], scene["separate_sizes"],
         scene["table_values"], scene["table_cw_len"], scene["start_values"],
-        lod_n, transform, scale, offset_rel,
     )
-
-    img_sharded = np.asarray(jax.jit(make_multichip_render(mesh, W, H))(*args))
-
-    # single-device reference
-    coords = decode_batches_core(*args[:9])
     fb_d, fb_p = _local_raster(coords, scale, offset_rel, lod_n, transform, W, H)
     img_single = np.asarray(
         jnp.where(fb_p != jnp.uint32(0xFFFFFFFF), fb_p, jnp.uint32(0x00443322))
     ).reshape(H, W)
 
-    # two independently-jitted programs: tolerate f32 FMA tie flips
-    agree = (img_sharded == img_single).mean()
-    assert agree > 0.995, f"sharded vs single agreement {agree}"
+    # payloads are rebased to global chunk ids, so the sharded winner is
+    # exactly the single-device winner (u64-min semantics are exact)
+    mismatch = np.argwhere(img_sharded != img_single)
+    assert mismatch.size == 0, f"{mismatch.shape[0]} mismatching pixels"
     assert (img_sharded != 0x00443322).sum() >= 10  # tiny synthetic scene
