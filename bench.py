@@ -71,6 +71,45 @@ def main() -> int:
 
     Debug.lod = 1.0  # decode + rasterize every point of every visible batch
     las = Data.create(scene)
+
+    # --- real-TPU bit-exactness gate (cheap: first batch only) ---
+    # Decode batch 0 on the device through the same kernel path the bench
+    # times, and compare against the NumPy mirror decoder.  A kernel
+    # regression aborts the bench loudly instead of timing a wrong image.
+    if BENCH_METHOD == "native" and jax.default_backend() == "tpu":
+        from pcrhpg24_tpu.formats.native_file import (
+            decode_tpc_batch_coords, read_tpc_batch,
+        )
+
+        import jax.numpy as jnp
+
+        nb0, _c0 = read_tpc_batch(scene, las.header, 0)
+        ref0 = decode_tpc_batch_coords(nb0).reshape(8, 128, 64, 3)
+        if las.header.version == 2:
+            from pcrhpg24_tpu.render.pallas_decode_fixed import (
+                decode_fixed_batches, pack_fixed_batches,
+            )
+
+            pk = pack_fixed_batches([nb0])
+            got0 = decode_fixed_batches(
+                jnp.asarray(pk["widths"]), jnp.asarray(pk["streams"]),
+                jnp.asarray(pk["ptrs"]), jnp.asarray(pk["starts"]),
+            )
+        else:
+            from pcrhpg24_tpu.render.pallas_decode import (
+                decode_native_batches, pack_native_batches,
+            )
+
+            pk = pack_native_batches([nb0])
+            got0 = decode_native_batches(
+                jnp.asarray(pk["lj"]), jnp.asarray(pk["streams"]),
+                jnp.asarray(pk["ptrs"]), jnp.asarray(pk["dD"]),
+                jnp.asarray(pk["lut"]), jnp.asarray(pk["starts"]),
+            )
+        got0 = np.transpose(np.asarray(got0)[0], (2, 3, 0, 1))
+        if not np.array_equal(got0, ref0):
+            print(json.dumps({"error": "TPU decode bit-exactness gate FAILED"}))
+            return 1
     r = Renderer(W, H)
     r.apply_setting(
         Setting(yaw=0.5, pitch=-0.9, radius=2500.0, target=(1000.0, 1000.0, 100.0))
@@ -117,7 +156,8 @@ def main() -> int:
         fpd = jnp.asarray(fp)
         kw = dict(width=W, height=H, mode="color",
                   nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
-                  cull=True, need_depth=False)
+                  cull=True, need_depth=False,
+                  fmt="fixed" if getattr(las, "version", 1) == 2 else "tbatch")
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(dev, fp, scale, offset_rel, k):

@@ -10,7 +10,7 @@ Usage:
       [--frames 3] [--width 1920 --height 1080]
       [--yaw -0.15 --pitch -0.57 --radius 3166 --target x y z]
       [--screenshot out/frame.png] [--depth out/depth.npy]
-      [--lod 0.1] [--colorize-chunks] [--show-num-points] [--list-methods]
+      [--lod 0.1] [--colorize-chunks] [--colorize-overdraw] [--show-num-points] [--list-methods]
 """
 
 from __future__ import annotations
@@ -114,6 +114,7 @@ def main(argv=None):
     ap.add_argument("--screenshot", default=None)
     ap.add_argument("--depth", default=None)
     ap.add_argument("--colorize-chunks", action="store_true")
+    ap.add_argument("--colorize-overdraw", action="store_true")
     ap.add_argument("--show-num-points", action="store_true")
     ap.add_argument("--no-frustum-culling", action="store_true")
     ap.add_argument("--show-bounding-box", action="store_true")
@@ -123,6 +124,7 @@ def main(argv=None):
 
     Debug.lod = args.lod
     Debug.colorize_chunks = args.colorize_chunks
+    Debug.colorize_overdraw = args.colorize_overdraw
     Debug.show_num_points = args.show_num_points
     Debug.frustum_culling_enabled = not args.no_frustum_culling
     Debug.show_bounding_box = args.show_bounding_box

@@ -38,7 +38,9 @@ class NativeLasData(Resource):
         self.num_batches = self.header.num_batches
         self.num_batches_loaded = 0
         self.num_points_loaded = 0
+        self.version = self.header.version
         self.maxw = ((self.header.max_group_words + 127) // 128 + 2) * 128
+        self.maxt = (self.header.max_group_words + 127) // 128 + 4
         self.dev: dict[str, jax.Array] = {}
         self.scale = np.asarray(self.header.scale)
         self.offset = np.asarray(self.header.offset)
@@ -59,17 +61,28 @@ class NativeLasData(Resource):
         self.state = ResourceState.LOADING
         from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
         B = -(-self.num_batches // _NCHUNK) * _NCHUNK
-        self.dev = dict(
-            lj=jnp.zeros((B, 1, 32), jnp.int32),
-            streams=jnp.zeros((B, G, self.maxw), jnp.uint32),
-            ptrs=jnp.zeros((B, 384, G), jnp.int32),
-            dD=jnp.zeros((B, 1, 128), jnp.int32),
-            lut=jnp.zeros((B, 1, 128), jnp.int32),
-            starts=jnp.zeros((B, 3, G, 128), jnp.int32),
-            colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
-            bbox_min=jnp.zeros((B, 3), jnp.float32),
-            bbox_max=jnp.zeros((B, 3), jnp.float32),
-        )
+        if self.version == 2:
+            self.dev = dict(
+                widths=jnp.zeros((B, 3, G, 128), jnp.int32),
+                streams=jnp.zeros((B, self.maxt, G, 128), jnp.uint32),
+                ptrs=jnp.zeros((B, 1, 64), jnp.int32),
+                starts=jnp.zeros((B, 3, G, 128), jnp.int32),
+                colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+                bbox_min=jnp.zeros((B, 3), jnp.float32),
+                bbox_max=jnp.zeros((B, 3), jnp.float32),
+            )
+        else:
+            self.dev = dict(
+                lj=jnp.zeros((B, 1, 32), jnp.int32),
+                streams=jnp.zeros((B, G, self.maxw), jnp.uint32),
+                ptrs=jnp.zeros((B, 384, G), jnp.int32),
+                dD=jnp.zeros((B, 1, 128), jnp.int32),
+                lut=jnp.zeros((B, 1, 128), jnp.int32),
+                starts=jnp.zeros((B, 3, G, 128), jnp.int32),
+                colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+                bbox_min=jnp.zeros((B, 3), jnp.float32),
+                bbox_max=jnp.zeros((B, 3), jnp.float32),
+            )
         self._abort.clear()
         self._thread = threading.Thread(target=self._loader_main, daemon=True)
         self._thread.start()
@@ -96,7 +109,14 @@ class NativeLasData(Resource):
         self.state = ResourceState.UNLOADED
 
     def process(self, renderer=None, max_tasks: int = 8):
-        from ..render.pallas_decode import pack_native_batches
+        if self.version == 2:
+            from ..render.pallas_decode_fixed import pack_fixed_batches as _pack
+            keys = ("widths", "streams", "ptrs", "starts")
+            packed_kw = dict(maxt=self.maxt)
+        else:
+            from ..render.pallas_decode import pack_native_batches as _pack
+            keys = ("lj", "streams", "ptrs", "dD", "lut", "starts")
+            packed_kw = dict(maxw=self.maxw)
 
         for _ in range(max_tasks):
             try:
@@ -107,9 +127,9 @@ class NativeLasData(Resource):
                 raise item[1]
             start, items = item
             nbs = [nb for nb, _c in items]
-            packed = pack_native_batches(nbs, maxw=self.maxw)
+            packed = _pack(nbs, **packed_kw)
             d = self.dev
-            for key in ("lj", "streams", "ptrs", "dD", "lut", "starts"):
+            for key in keys:
                 d[key] = _upload_rows(d[key], start, jnp.asarray(packed[key]))
             colors = np.stack([c for _nb, c in items]).astype(np.uint32)
             d["colors"] = _upload_rows(d["colors"], start, jnp.asarray(colors))

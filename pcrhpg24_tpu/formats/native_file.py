@@ -1,8 +1,9 @@
 """`.tpc` — the TPU-native scene file format.
 
 Same role as the reference's `.huffman` container (include/BatchDumpData.h)
-but carrying tbatch streams (codec/native.py).  Layout:
+but carrying TPU-native streams.  Two on-disk versions:
 
+v1 ('TPC1', codec/native.py bucket-Huffman tbatch):
   file  = magic 'TPC1' | i64 num_points | i64 num_batches | i64 max_group_words
         | 3 x f64 scale | 3 x f64 offset | 3 x f64 las_min | 3 x f64 las_max
         | i64 blob_size[num_batches] | blob[num_batches]
@@ -14,6 +15,16 @@ but carrying tbatch streams (codec/native.py).  Layout:
         | i32 start_values[1024*3]
         | u32 stream[sum(group_len)]
         | u32 color_bc1[num_points/8]
+
+v2 ('TPC2', codec/fixed.py fixed-width fbatch — the flagship decode
+format; same file header, different blobs):
+  blob  = i32 bbox_min[3] | i32 bbox_max[3]
+        | i32 nwords (per group)
+        | u8  widths[1024*3]
+        | i32 round_ptrs[64]
+        | i32 start_values[1024*3]
+        | u32 stream[8*nwords]
+        | u32 color_bc1[num_points/8]
 """
 
 from __future__ import annotations
@@ -22,14 +33,17 @@ import struct
 
 import numpy as np
 
+from ..codec.fixed import FixedBatch
 from ..codec.native import CanonicalCode, NativeBatch, encode_native_batch
 from ..constants import (
+    POINTS_PER_THREAD,
     POINTS_PER_WORKGROUP,
     TPU_GROUPS_PER_BATCH,
     WORKGROUP_SIZE,
 )
 
 MAGIC = b"TPC1"
+MAGIC2 = b"TPC2"
 
 
 def batch_to_blob(nb: NativeBatch, color_bc1: np.ndarray) -> bytes:
@@ -85,9 +99,52 @@ def blob_to_batch(buf: bytes) -> tuple[NativeBatch, np.ndarray]:
     return nb, color
 
 
+def batch_to_blob_v2(fb: FixedBatch, color_bc1: np.ndarray) -> bytes:
+    nwords = fb.streams.shape[1]
+    parts = [
+        np.asarray(fb.bbox_min_i, np.int32).tobytes(),
+        np.asarray(fb.bbox_max_i, np.int32).tobytes(),
+        struct.pack("<i", nwords),
+        np.asarray(fb.widths, np.uint8).tobytes(),
+        np.asarray(fb.round_ptrs, np.int32).tobytes(),
+        np.asarray(fb.start_values, np.int32).tobytes(),
+        np.asarray(fb.streams, np.uint32).tobytes(),
+        np.asarray(color_bc1, np.uint32).tobytes(),
+    ]
+    return b"".join(parts)
+
+
+def blob_to_batch_v2(buf: bytes) -> tuple[FixedBatch, np.ndarray]:
+    off = 0
+
+    def take(n, dtype):
+        nonlocal off
+        a = np.frombuffer(buf, dtype, count=n, offset=off)
+        off += a.nbytes
+        return a
+
+    bbox_min = take(3, np.int32)
+    bbox_max = take(3, np.int32)
+    (nwords,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    widths = take(WORKGROUP_SIZE * 3, np.uint8).reshape(WORKGROUP_SIZE, 3)
+    round_ptrs = take(POINTS_PER_THREAD, np.int32)
+    start_values = take(WORKGROUP_SIZE * 3, np.int32).reshape(WORKGROUP_SIZE, 3)
+    streams = take(TPU_GROUPS_PER_BATCH * nwords, np.uint32).reshape(
+        TPU_GROUPS_PER_BATCH, nwords
+    )
+    color = take(POINTS_PER_WORKGROUP // 8, np.uint32)
+    assert off == len(buf), f"tpc2 blob size mismatch {off} != {len(buf)}"
+    fb = FixedBatch(
+        streams=streams, widths=widths, start_values=start_values,
+        bbox_min_i=bbox_min, bbox_max_i=bbox_max, round_ptrs=round_ptrs,
+    )
+    return fb, color
+
+
 class TpcHeader:
     def __init__(self, num_points, num_batches, max_group_words, scale, offset,
-                 las_min, las_max, batch_sizes, batch_offsets):
+                 las_min, las_max, batch_sizes, batch_offsets, version=1):
         self.num_points = num_points
         self.num_batches = num_batches
         self.max_group_words = max_group_words
@@ -97,14 +154,20 @@ class TpcHeader:
         self.las_max = las_max
         self.batch_sizes = batch_sizes
         self.batch_offsets = batch_offsets
+        self.version = version
 
 
 def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
-    blobs = [batch_to_blob(nb, c) for nb, c in zip(batches, colors)]
+    v2 = batches and isinstance(batches[0], FixedBatch)
+    if v2:
+        blobs = [batch_to_blob_v2(fb, c) for fb, c in zip(batches, colors)]
+        max_group_words = max(fb.streams.shape[1] for fb in batches)
+    else:
+        blobs = [batch_to_blob(nb, c) for nb, c in zip(batches, colors)]
+        max_group_words = max(max(len(s_) for s_ in nb.streams) for nb in batches)
     num_points = len(batches) * POINTS_PER_WORKGROUP
-    max_group_words = max(max(len(s_) for s_ in nb.streams) for nb in batches)
     with open(path, "wb") as f:
-        f.write(MAGIC)
+        f.write(MAGIC2 if v2 else MAGIC)
         f.write(np.asarray([num_points, len(batches), max_group_words], np.int64).tobytes())
         for v in (scale, offset, las_min, las_max):
             f.write(np.asarray(v, np.float64).tobytes())
@@ -116,7 +179,7 @@ def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
 def read_tpc_header(path) -> TpcHeader:
     with open(path, "rb") as f:
         magic = f.read(4)
-        assert magic == MAGIC, f"not a TPC file: {magic!r}"
+        assert magic in (MAGIC, MAGIC2), f"not a TPC file: {magic!r}"
         num_points, num_batches, max_gw = np.frombuffer(f.read(24), np.int64)
         vals = np.frombuffer(f.read(8 * 12), np.float64)
         sizes = np.frombuffer(f.read(8 * num_batches), np.int64)
@@ -125,22 +188,38 @@ def read_tpc_header(path) -> TpcHeader:
     return TpcHeader(
         int(num_points), int(num_batches), int(max_gw), vals[0:3], vals[3:6],
         vals[6:9], vals[9:12], sizes, offsets,
+        version=2 if magic == MAGIC2 else 1,
     )
 
 
 def read_tpc_batch(path, header: TpcHeader, index: int):
     with open(path, "rb") as f:
         f.seek(int(header.batch_offsets[index]))
-        return blob_to_batch(f.read(int(header.batch_sizes[index])))
+        buf = f.read(int(header.batch_sizes[index]))
+    return blob_to_batch_v2(buf) if header.version == 2 else blob_to_batch(buf)
 
 
-def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True):
+def decode_tpc_batch_coords(batch) -> np.ndarray:
+    """Version-generic CPU decode of a `.tpc` batch -> (65536,3) i32."""
+    from ..codec.fixed import decode_fixed_batch
+    from ..codec.native import decode_native_batch
+
+    if isinstance(batch, FixedBatch):
+        return decode_fixed_batch(batch)
+    return decode_native_batch(batch)
+
+
+def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True,
+                             codec: str = "fixed"):
     """Reference `.huffman` -> `.tpc`: decode each batch with the CPU
     codec and re-encode in the TPU-native layout (decoded coordinates
     are bit-identical; colors are passed through unchanged)."""
     from ..codec.batch_codec import decode_batch, deltas_to_coords
+    from ..codec.fixed import encode_fixed_batch
     from ..formats.huffman_file import read_batch, read_file_header
     from .. import native as _ncore
+
+    encode = encode_fixed_batch if codec == "fixed" else encode_native_batch
 
     hdr = read_file_header(huffman_path)
     batches, colors = [], []
@@ -158,7 +237,7 @@ def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True):
                 b.decoder_values, b.decoder_cw_len,
             )
         coords = deltas_to_coords(deltas, b.start_values)
-        batches.append(encode_native_batch(coords[:, 0], coords[:, 1], coords[:, 2]))
+        batches.append(encode(coords[:, 0], coords[:, 1], coords[:, 2]))
         colors.append(np.asarray(b.color, np.uint32))
         scale, offset = b.las_scale, b.las_offset
         las_min, las_max = b.las_min, b.las_max

@@ -26,15 +26,24 @@ def build() -> str:
     return _SO
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than codec_core.cpp."""
+    if not os.path.exists(_SO):
+        return True
+    src = os.path.join(_DIR, "codec_core.cpp")
+    return os.path.getmtime(src) > os.path.getmtime(_SO)
+
+
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    if _stale():
         try:
             build()
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None  # no compiler, no prior build: NumPy fallback
     lib = ctypes.CDLL(_SO)
     lib.encode_native_batch.restype = ctypes.c_int
     lib.encode_native_batch.argtypes = [

@@ -120,10 +120,19 @@ def preprocess_las(las_path: str, out_path: str, sort: bool = True, verbose=True
     return out_path
 
 
-def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True, verbose=True):
-    """LAS -> `.tpc` (TPU-native tbatch format)."""
+def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True,
+                       verbose=True, codec: str = "fixed"):
+    """LAS -> `.tpc` (TPU-native format).
+
+    codec="fixed" writes v2 fbatch blobs (fixed-width, fastest decode —
+    the flagship format); codec="huffman" writes v1 bucket-Huffman
+    tbatch blobs (~13% smaller, slower decode).
+    """
+    from .codec.fixed import encode_fixed_batch
     from .codec.native import encode_native_batch
     from .formats.native_file import write_tpc
+
+    encode = encode_fixed_batch if codec == "fixed" else encode_native_batch
 
     header = read_header(las_path)
     n_total = header.num_points
@@ -143,7 +152,7 @@ def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True, verbose=
             x, y, z, color = x[order], y[order], z[order], color[order]
         for s in range(0, len(x), POINTS_PER_WORKGROUP):
             sl = slice(s, s + POINTS_PER_WORKGROUP)
-            batches.append(encode_native_batch(x[sl], y[sl], z[sl]))
+            batches.append(encode(x[sl], y[sl], z[sl]))
             colors.append(encode_bc1(color[sl]))
         if verbose:
             print(f"tpc chunk {start // MAX_POINTS_PER_BATCH}: {len(batches)} batches")

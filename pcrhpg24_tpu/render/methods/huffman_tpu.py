@@ -19,8 +19,9 @@ from ...constants import POINTS_PER_THREAD, RENDER_CHUNK_BATCHES
 from ...engine.debug import Debug
 from ...engine.method import Runtime
 from ..bc1_layout import bc1_payload_native
-from ..native_decode_xla import decode_native_xla
+from ..native_decode_xla import decode_fixed_xla, decode_native_xla
 from ..pallas_decode import decode_native_batches
+from ..pallas_decode_fixed import decode_fixed_batches
 from ..raster import EMPTY, resolve, sorted_resolve_u64_min
 from ..camera import frame_setup_device
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
@@ -33,25 +34,36 @@ CHUNK = 64
 def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
     width: int, height: int, mode: str, use_pallas: bool = True,
-    points: int = POINTS_PER_THREAD,
+    points: int = POINTS_PER_THREAD, fmt: str = "tbatch",
 ):
     """Decode + project one chunk; returns flat (pid, depth, payload).
 
     Chunks no longer resolve individually: the frame concatenates every
     chunk's streams and resolves once (one global sort preserves the
     exact u64-min winner across chunks without per-chunk depth planes).
+    fmt: "fixed" (v2 fbatch, flagship) or "tbatch" (v1 bucket-Huffman).
     """
     C = CHUNK
-    decode = decode_native_batches if use_pallas else decode_native_xla
-    coords = decode(
-        _slice_rows(dev["lj"], chunk_start, C),
-        _slice_rows(dev["streams"], chunk_start, C),
-        _slice_rows(dev["ptrs"], chunk_start, C),
-        _slice_rows(dev["dD"], chunk_start, C),
-        _slice_rows(dev["lut"], chunk_start, C),
-        _slice_rows(dev["starts"], chunk_start, C),
-        points=points,
-    )  # (C, points, 3, 8, 128) i32
+    if fmt == "fixed":
+        decode = decode_fixed_batches if use_pallas else decode_fixed_xla
+        coords = decode(
+            _slice_rows(dev["widths"], chunk_start, C),
+            _slice_rows(dev["streams"], chunk_start, C),
+            _slice_rows(dev["ptrs"], chunk_start, C),
+            _slice_rows(dev["starts"], chunk_start, C),
+            points=points,
+        )
+    else:
+        decode = decode_native_batches if use_pallas else decode_native_xla
+        coords = decode(
+            _slice_rows(dev["lj"], chunk_start, C),
+            _slice_rows(dev["streams"], chunk_start, C),
+            _slice_rows(dev["ptrs"], chunk_start, C),
+            _slice_rows(dev["dD"], chunk_start, C),
+            _slice_rows(dev["lut"], chunk_start, C),
+            _slice_rows(dev["starts"], chunk_start, C),
+            points=points,
+        )  # (C, points, 3, 8, 128) i32
     colors = _slice_rows(dev["colors"], chunk_start, C)
     n_chunk = _slice_rows(lod_n, chunk_start, C)
 
@@ -91,18 +103,47 @@ def render_chunk_native(
     else:
         payload = bc1_payload_native(colors, shp, points).astype(jnp.uint32)
 
+    # Within-chain run collapse: Morton order makes consecutive points of
+    # a chain (axis 1) land on the same pixel, especially zoomed out.
+    # Collapse each such run to its exact u64 (depth<<32|payload) min and
+    # retire the rest to the OOB sentinel: they sort to the stream tail,
+    # which the merge kernel never visits, shrinking its window count by
+    # the run factor.  Bit-exact: only same-pixel candidates collapse,
+    # and their min is kept.  (The reference needs no analogue — its
+    # atomicMin absorbs duplicates in silicon, render.cu:276-303.)
+    if mode == "color":
+        d, p = depth, payload
+        for s in (1, 2, 4, 8, 16, 32):
+            if s >= points:
+                break
+            pad = [(0, 0), (0, s), (0, 0), (0, 0)]
+            pid_s = jnp.pad(pid, pad, constant_values=size)[:, s:]
+            d_s = jnp.pad(d, pad)[:, s:]
+            p_s = jnp.pad(p, pad)[:, s:]
+            valid = pid_s == pid
+            less = (d_s < d) | ((d_s == d) & (p_s < p))
+            take = valid & less
+            d = jnp.where(take, d_s, d)
+            p = jnp.where(take, p_s, p)
+        prev = jnp.pad(pid, [(0, 0), (1, 0), (0, 0), (0, 0)],
+                       constant_values=size)[:, :points]
+        head = pid != prev
+        pid = jnp.where(head, pid, size)
+        depth, payload = d, p
+
     return pid.reshape(-1), depth.reshape(-1), payload.reshape(-1)
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "mode", "use_pallas", "nchunks",
-                     "cull", "points", "need_depth"),
+                     "cull", "points", "need_depth", "fmt"),
 )
 def render_frame_native(
     dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
     cull: bool, points: int = POINTS_PER_THREAD, need_depth: bool = True,
+    fmt: str = "tbatch",
 ):
     """Whole frame in one dispatch: cull/LOD + chunks + one global resolve.
 
@@ -122,17 +163,37 @@ def render_frame_native(
         frame_params[23].astype(jnp.int32), width, height,
         frame_params[22], cull,
     )
+    # the decode bucket `points` comes from the host f64 LOD; the device
+    # f32 LOD could exceed it by one ulp at a bucket boundary, which would
+    # silently mask-in points the kernel never decoded — clamp so the
+    # static bucket is authoritative either way
+    lod_n = jnp.minimum(lod_n, points)
     transform = frame_params[24:40].reshape(4, 4)
     size = width * height
     pids, deps, pays = [], [], []
     for c in range(nchunks):
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, mode, use_pallas, points,
+            width, height, mode, use_pallas, points, fmt,
         )
         pids.append(pid_c)
         deps.append(dep_c)
         pays.append(pay_c)
+    if mode == "colorize_overdraw":
+        # per-pixel point counts -> 5-bucket spectral heatmap (debug mode;
+        # reference: compute_loop_las_hqs/resolve.cs:54-103).  Counts use
+        # the XLA scatter-add: a debug frame may cost ~20 ms, acceptable.
+        counts = jnp.zeros((size,), jnp.uint32)
+        for pid_c in pids:
+            counts = counts.at[pid_c].add(jnp.uint32(1), mode="drop")
+        color = jnp.full((size,), 0x00BA832B, jnp.uint32)
+        for thresh, c in ((10, 0x00A4DDAB), (250, 0x00BFFFFF),
+                          (1000, 0x0061AEFD), (4000, 0x001C19D7)):
+            color = jnp.where(counts >= thresh, jnp.uint32(c), color)
+        img = jnp.where(
+            counts > 0, color, jnp.uint32(0x00443322)
+        ).reshape(height, width)
+        return None, counts, img
     fb_d, fb_p = sorted_resolve_u64_min(
         jnp.concatenate(pids) if nchunks > 1 else pids[0],
         jnp.concatenate(deps) if nchunks > 1 else deps[0],
@@ -181,7 +242,9 @@ class HuffmanTpu(HuffmanMemIter):
         mode = (
             "colorize_chunks"
             if Debug.colorize_chunks
-            else "show_num_points" if Debug.show_num_points else "color"
+            else "show_num_points" if Debug.show_num_points
+            else "colorize_overdraw" if Debug.colorize_overdraw
+            else "color"
         )
         if not hasattr(las, "_dev_consts"):
             las._dev_consts = (
@@ -204,11 +267,12 @@ class HuffmanTpu(HuffmanMemIter):
         max_lod = int(lod_full.max()) if B else POINTS_PER_THREAD
         points = max(16, -(-max_lod // 16) * 16)
         need_depth = bool(getattr(renderer, "capture_depth", False))
+        fmt = "fixed" if getattr(las, "version", 1) == 2 else "tbatch"
         fb_d, fb_p, img = render_frame_native(
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
-            points, need_depth,
+            points, need_depth, fmt,
         )
         renderer.last_fb = (fb_d, fb_p)
         if Debug.show_bounding_box:

@@ -17,24 +17,34 @@ import numpy as np
 from ...constants import POINTS_PER_THREAD
 from ...engine.debug import Debug
 from ..bc1_layout import bc1_payload_native
-from ..native_decode_xla import decode_native_xla
+from ..native_decode_xla import decode_fixed_xla, decode_native_xla
 from ..pallas_decode import decode_native_batches
+from ..pallas_decode_fixed import decode_fixed_batches
 from ..raster import EMPTY
 from .huffman_mem_iter import _slice_rows
 from .huffman_tpu import CHUNK, HuffmanTpu
 
 
 def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
-                    width, height, use_pallas):
-    decode = decode_native_batches if use_pallas else decode_native_xla
-    coords = decode(
-        _slice_rows(dev["lj"], chunk_start, CHUNK),
-        _slice_rows(dev["streams"], chunk_start, CHUNK),
-        _slice_rows(dev["ptrs"], chunk_start, CHUNK),
-        _slice_rows(dev["dD"], chunk_start, CHUNK),
-        _slice_rows(dev["lut"], chunk_start, CHUNK),
-        _slice_rows(dev["starts"], chunk_start, CHUNK),
-    )
+                    width, height, use_pallas, fmt="tbatch"):
+    if fmt == "fixed":
+        decode = decode_fixed_batches if use_pallas else decode_fixed_xla
+        coords = decode(
+            _slice_rows(dev["widths"], chunk_start, CHUNK),
+            _slice_rows(dev["streams"], chunk_start, CHUNK),
+            _slice_rows(dev["ptrs"], chunk_start, CHUNK),
+            _slice_rows(dev["starts"], chunk_start, CHUNK),
+        )
+    else:
+        decode = decode_native_batches if use_pallas else decode_native_xla
+        coords = decode(
+            _slice_rows(dev["lj"], chunk_start, CHUNK),
+            _slice_rows(dev["streams"], chunk_start, CHUNK),
+            _slice_rows(dev["ptrs"], chunk_start, CHUNK),
+            _slice_rows(dev["dD"], chunk_start, CHUNK),
+            _slice_rows(dev["lut"], chunk_start, CHUNK),
+            _slice_rows(dev["starts"], chunk_start, CHUNK),
+        )
     colors = _slice_rows(dev["colors"], chunk_start, CHUNK)
     n_chunk = _slice_rows(lod_n, chunk_start, CHUNK)
 
@@ -63,11 +73,12 @@ def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "nchunks", "use_pallas", "cull"),
+    static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
+                     "fmt"),
 )
 def hqs_frame_native(dev, frame_params, scale, offset_rel,
                      width: int, height: int, nchunks: int,
-                     use_pallas: bool, cull: bool):
+                     use_pallas: bool, cull: bool, fmt: str = "tbatch"):
     from ..camera import frame_setup_device
 
     view = frame_params[0:16].reshape(4, 4)
@@ -86,41 +97,66 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     for c in range(nchunks):
         pid, w, _rgba, _ok = _project_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, use_pallas,
+            width, height, use_pallas, fmt,
         )
         depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
         prepass.append((pid, depth))
     pid_all = jnp.concatenate([p for p, _ in prepass]) if nchunks > 1 else prepass[0][0]
     dep_all = jnp.concatenate([d for _, d in prepass]) if nchunks > 1 else prepass[0][1]
     if use_pallas and pid_all.shape[0] % 1024 == 0:
-        from ..pallas_merge import dense_from_sorted
+        from ..pallas_merge import dense_from_sorted_nk1
 
         spid, sdep = jax.lax.sort(
-            [pid_all.astype(jnp.uint32), dep_all], num_keys=2, is_stable=False
+            [pid_all.astype(jnp.uint32), dep_all], num_keys=1, is_stable=False
         )
-        _none, fb_depth = dense_from_sorted(spid, sdep, sdep, size, False)
+        _none, fb_depth = dense_from_sorted_nk1(spid, sdep, sdep, size, False)
     else:
         fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
         fb_depth = fb_depth.at[pid_all].min(dep_all, mode="drop")
 
-    acc_r = jnp.zeros((size,), jnp.uint32)
-    acc_g = jnp.zeros((size,), jnp.uint32)
-    acc_b = jnp.zeros((size,), jnp.uint32)
-    acc_n = jnp.zeros((size,), jnp.uint32)
-    for c in range(nchunks):
-        pid, w, rgba, ok = _project_native(
-            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, use_pallas,
+    if use_pallas and pid_all.shape[0] % 1024 == 0:
+        # scatter-free accumulation: nk1 sort + segmented suffix-sum
+        # merge kernel with the in-kernel tolerance test (the reference's
+        # two i64 atomicAdds, huffman_hqs/render.cu:311-313; XLA
+        # scatter-add would cost ~4.8 ns/slot)
+        from ..pallas_hqs import hqs_sums_from_sorted
+
+        parts = []
+        for c in range(nchunks):
+            pid, w, rgba, _ok = _project_native(
+                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+                width, height, use_pallas, fmt,
+            )
+            parts.append((pid, jax.lax.bitcast_convert_type(w, jnp.uint32), rgba))
+        cat = (lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0])
+        spid, sdep, spay = jax.lax.sort(
+            [cat([p for p, _, _ in parts]).astype(jnp.uint32),
+             cat([d for _, d, _ in parts]),
+             cat([r for _, _, r in parts])],
+            num_keys=1, is_stable=False,
         )
-        old = jax.lax.bitcast_convert_type(
-            fb_depth[jnp.clip(pid, 0, size - 1)], jnp.float32
+        acc_r, acc_g, acc_b, acc_n = hqs_sums_from_sorted(
+            spid, sdep, spay, fb_depth, size
         )
-        keep = ok & (w <= old * 1.01)
-        pid2 = jnp.where(keep, pid, size)
-        acc_r = acc_r.at[pid2].add(rgba & 0xFF, mode="drop")
-        acc_g = acc_g.at[pid2].add((rgba >> 8) & 0xFF, mode="drop")
-        acc_b = acc_b.at[pid2].add((rgba >> 16) & 0xFF, mode="drop")
-        acc_n = acc_n.at[pid2].add(jnp.uint32(1), mode="drop")
+    else:
+        acc_r = jnp.zeros((size,), jnp.uint32)
+        acc_g = jnp.zeros((size,), jnp.uint32)
+        acc_b = jnp.zeros((size,), jnp.uint32)
+        acc_n = jnp.zeros((size,), jnp.uint32)
+        for c in range(nchunks):
+            pid, w, rgba, ok = _project_native(
+                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+                width, height, use_pallas, fmt,
+            )
+            old = jax.lax.bitcast_convert_type(
+                fb_depth[jnp.clip(pid, 0, size - 1)], jnp.float32
+            )
+            keep = ok & (w <= old * 1.01)
+            pid2 = jnp.where(keep, pid, size)
+            acc_r = acc_r.at[pid2].add(rgba & 0xFF, mode="drop")
+            acc_g = acc_g.at[pid2].add((rgba >> 8) & 0xFF, mode="drop")
+            acc_b = acc_b.at[pid2].add((rgba >> 16) & 0xFF, mode="drop")
+            acc_n = acc_n.at[pid2].add(jnp.uint32(1), mode="drop")
 
     cnt = jnp.maximum(acc_n, 1)
     color = (acc_r // cnt) | ((acc_g // cnt) << 8) | ((acc_b // cnt) << 16)
@@ -158,6 +194,7 @@ class HuffmanTpuHqs(HuffmanTpu):
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
+            "fixed" if getattr(las, "version", 1) == 2 else "tbatch",
         )
         renderer.last_fb = (fb_depth, acc_n)
         return img

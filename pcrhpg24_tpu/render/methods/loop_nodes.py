@@ -23,6 +23,15 @@ from .loop_las import raster_chunk_101010, resolve_indexed
 
 CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_pad",))
+def _expand_frame_codes(deltas, starts, n_pad: int):
+    """Scatter per-node code deltas at node starts, cumsum to per-point."""
+    plane = jnp.zeros((n_pad,), jnp.int32).at[starts].add(deltas, mode="drop")
+    return jnp.cumsum(plane)
+
 
 def node_levels(view, proj, bmin, bmax, width, height):
     """Precision level per node; >= 4 culls it (render.cs:205-226)."""
@@ -61,14 +70,51 @@ class ComputeLoopNodes(Method):
             Runtime.resource = self.potree
 
     def _per_point_tables(self, n_loaded):
-        """Per-point node id expansion (cached once fully loaded)."""
+        """Node-CONSTANT per-point tables, device-resident.
+
+        Built once per n_loaded change (an upload event), never per
+        frame: node bboxes don't move.  Per-frame state (LOD level +
+        visibility) is expanded on device from O(nodes) data by
+        `_expand_frame_codes` — the reference's analogue is per-node
+        uniforms read by each workgroup (compute_loop_nodes.h:184-185);
+        round-1 rebuilt all per-point arrays on the host every frame,
+        an O(points) wall the reference doesn't have.
+        """
         p = self.potree
         if self._pt_cache is not None and self._pt_cache[0] == n_loaded:
             return self._pt_cache[1]
         counts = p.node_count[: p.nodes_loaded]
         node_of_pt = np.repeat(np.arange(len(counts)), counts)
-        self._pt_cache = (n_loaded, node_of_pt)
-        return node_of_pt
+        nn = p.nodes_loaded
+        n_pad = int(p.dev["xyz4"].shape[0])
+
+        def padded(a):
+            out = np.zeros((n_pad,) + a.shape[1:], a.dtype)
+            out[: len(node_of_pt)] = a
+            return jnp.asarray(out)
+
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tables = dict(
+            bmin_pt=padded(p.bbox_min[:nn][node_of_pt].astype(np.float32)),
+            bmax_pt=padded(p.bbox_max[:nn][node_of_pt].astype(np.float32)),
+            starts=jnp.asarray(
+                np.concatenate([starts, [len(node_of_pt)]]).astype(np.int32)
+            ),
+        )
+        self._pt_cache = (n_loaded, tables)
+        return tables
+
+    def _frame_codes(self, level, vis, tables, n_pad):
+        """(level*2|vis) per point, expanded on device in O(nodes) host work."""
+        code = (level.astype(np.int32) << 1) | vis.astype(np.int32)
+        # delta-encode so a tiny scatter + device cumsum rebuilds the
+        # step-constant per-point plane; a trailing delta zeroes the pad
+        # region (vis=0 there)
+        deltas = np.concatenate([code[:1], np.diff(code), [-code[-1]]])
+        codes = _expand_frame_codes(
+            jnp.asarray(deltas.astype(np.int32)), tables["starts"], n_pad
+        )
+        return codes >> 1, (codes & 1).astype(bool)
 
     def render(self, renderer):
         p = self.potree
@@ -92,24 +138,11 @@ class ComputeLoopNodes(Method):
         level = node_levels(view, proj, bmin, bmax, W, H)
         vis &= level < 4  # the LOD cut
 
-        node_of_pt = self._per_point_tables(n_loaded)
-        lvl_pt_np = level[node_of_pt]
-        vis_pt_np = vis[node_of_pt]
-        bmin_pt_np = bmin[node_of_pt]
-        bmax_pt_np = bmax[node_of_pt]
-
         d = p.dev
         n_pad = d["xyz4"].shape[0]
-
-        def padded(a, fill=0):
-            out = np.zeros((n_pad,) + a.shape[1:], a.dtype)
-            out[: len(a)] = a
-            return jnp.asarray(out)
-
-        lvl_pt = padded(lvl_pt_np)
-        vis_pt = padded(vis_pt_np.astype(bool))
-        bmin_pt = padded(bmin_pt_np)
-        bmax_pt = padded(bmax_pt_np)
+        tables = self._per_point_tables(n_loaded)
+        bmin_pt, bmax_pt = tables["bmin_pt"], tables["bmax_pt"]
+        lvl_pt, vis_pt = self._frame_codes(level, vis, tables, n_pad)
 
         for s in range(0, n_pad, CHUNK_PTS):
             sl = slice(s, min(s + CHUNK_PTS, n_pad))
@@ -147,7 +180,6 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
         size = W * H
         acc = [jnp.zeros((size,), jnp.uint32) for _ in range(4)]
         n_loaded = p.num_points_loaded
-        node_of_pt = self._per_point_tables(n_loaded)
         nn = p.nodes_loaded
         view, proj = cam.view(), cam.proj()
         level = node_levels(view, proj, p.bbox_min[:nn], p.bbox_max[:nn], W, H)
@@ -156,16 +188,9 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
         ) & (level < 4)
 
         n_pad = d["xyz4"].shape[0]
-
-        def padded(a):
-            out = np.zeros((n_pad,) + a.shape[1:], a.dtype)
-            out[: len(a)] = a
-            return jnp.asarray(out)
-
-        lvl_pt = padded(level[node_of_pt])
-        vis_pt = padded(vis[node_of_pt].astype(bool))
-        bmin_pt = padded(p.bbox_min[:nn][node_of_pt])
-        bmax_pt = padded(p.bbox_max[:nn][node_of_pt])
+        tables = self._per_point_tables(n_loaded)
+        bmin_pt, bmax_pt = tables["bmin_pt"], tables["bmax_pt"]
+        lvl_pt, vis_pt = self._frame_codes(level, vis, tables, n_pad)
 
         acc = _hqs_accumulate_101010(
             d, lvl_pt, bmin_pt, bmax_pt, vis_pt, wvp, fb_d, acc, W, H

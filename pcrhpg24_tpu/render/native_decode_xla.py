@@ -91,3 +91,76 @@ def decode_native_xla(lj, streams, ptrs, dD, lut, starts,
     _, ys = jax.lax.scan(point_step, init, jnp.arange(points))
     # ys: (64, B, 3, G, 128) -> (B, 64, 3, G, 128)
     return jnp.transpose(ys, (1, 0, 2, 3, 4))
+
+
+def decode_fixed_xla(widths, streams, ptrs, starts,
+                     points: int = POINTS_PER_THREAD):
+    """Portable XLA decoder for the fbatch (fixed-width, v2) format.
+
+    Same signature/layout as pallas_decode_fixed.decode_fixed_batches;
+    protocol-identical to codec/fixed.py's mirror.  CPU/test fallback.
+    """
+    B = widths.shape[0]
+    wx = widths[:, 0].astype(_I)  # (B, 8, 128)
+    wy = widths[:, 1].astype(_I)
+    wz = widths[:, 2].astype(_I)
+    W = wx + wy + wz
+    sflat = jnp.transpose(streams, (0, 2, 1, 3)).reshape(B, G, -1)  # (B,8,T*128)
+    nmax = sflat.shape[2]
+
+    def sel3(k, a, b, c):
+        return jnp.where(k == 0, a, jnp.where(k == 1, b, c))
+
+    def extract(win, off, w):
+        w0, w1, w2, w3 = win
+        word = off >> 5
+        sh = (off & 31).astype(_U)
+        lo = sel3(word, w0, w1, w2)
+        hi = sel3(word, w1, w2, w3)
+        top = (lo << sh) | ((hi >> _U(1)) >> (_U(31) - sh))
+        v = top >> ((_I(32) - w) & 31).astype(_U)
+        return jnp.where(w > 0, v, _U(0))
+
+    def step(carry, i):
+        w0, w1, w2, w3, bp, ve, bits = carry
+        bits_next = bits + W
+        cnt = ((bits_next + 31) >> 5) - ((bits + 31) >> 5)
+        rank = jnp.cumsum(cnt, axis=-1) - cnt
+        ptr = jnp.take(ptrs[:, 0], i, axis=1)[:, None, None]  # (B,1,1)
+        idx0 = ptr + rank
+        for j in range(3):
+            idx = jnp.clip(idx0 + j, 0, nmax - 1)
+            vj = jnp.take_along_axis(sflat, idx, axis=2).astype(_U)
+            take = cnt > j
+            slot = ve + j
+            w0 = jnp.where(take & (slot == 0), vj, w0)
+            w1 = jnp.where(take & (slot == 1), vj, w1)
+            w2 = jnp.where(take & (slot == 2), vj, w2)
+            w3 = jnp.where(take & (slot == 3), vj, w3)
+        ve = ve + cnt
+        win = (w0, w1, w2, w3)
+        zx = extract(win, bp, wx)
+        zy = extract(win, bp + wx, wy)
+        zz = extract(win, bp + wx + wy, wz)
+        dx = (zx >> _U(1)).astype(_I) ^ -(zx & _U(1)).astype(_I)
+        dy = (zy >> _U(1)).astype(_I) ^ -(zy & _U(1)).astype(_I)
+        dz = (zz >> _U(1)).astype(_I) ^ -(zz & _U(1)).astype(_I)
+        bpn = bp + W
+        k = bpn >> 5
+        bp = bpn & 31
+        ve = ve - k
+        w0n = jnp.where(k == 0, w0, jnp.where(k == 1, w1, jnp.where(k == 2, w2, w3)))
+        w1n = jnp.where(k == 0, w1, jnp.where(k == 1, w2, w3))
+        w2n = jnp.where(k == 0, w2, w3)
+        return (w0n, w1n, w2n, w3, bp, ve, bits_next), (dx, dy, dz)
+
+    zu = jnp.zeros((B, G, 128), _U)
+    zi = jnp.zeros((B, G, 128), _I)
+    init = (zu, zu, zu, zu, zi, zi, zi)
+    _, (dx, dy, dz) = jax.lax.scan(step, init, jnp.arange(points))
+    # (points, B, 8, 128) deltas -> absolute coords via cumsum
+    d = jnp.stack([dx, dy, dz], axis=2)  # (points, B, 3, 8, 128)
+    coords = jnp.cumsum(d, axis=0) + jnp.transpose(
+        starts, (0, 1, 2, 3)
+    )[None].astype(_I)
+    return jnp.transpose(coords, (1, 0, 2, 3, 4))  # (B, points, 3, 8, 128)

@@ -1,0 +1,236 @@
+"""Scatter-free HQS accumulation: segmented suffix-SUM merge kernel.
+
+The reference's HQS color pass accumulates per-pixel (r,g,b,count) sums
+with two 64-bit atomicAdds after a depth-tolerance test
+(modules/huffman_hqs/render.cu:274-316).  XLA's TPU scatter-add runs at
+~4.8 ns/slot, making an HQS frame ~80 ms at 4M points.  This kernel
+reuses the nk1 sorted-stream architecture of pallas_merge: per
+1024-entry window of the pid-sorted stream,
+
+  * the depth-tolerance accept test (depth <= fb_depth[pixel] * 1.01)
+    runs in-register: the dense depth plane's tile block is an input,
+    and fb_depth[lpid] is one flat-gather — no HBM gather pass;
+  * rejected entries zero their contribution; accepted ones unpack
+    r/g/b from the BC1 payload;
+  * a segmented suffix-sum (segments = pid runs, log2(1024) roll-add
+    steps) makes the entry at lower_bound(pid) carry the run's sums;
+  * per-pixel sums ADD across windows (sums are associative — no
+    cross-window carry needed, mirroring the min-merge argument).
+
+Output: four dense planes (acc_r, acc_g, acc_b, acc_n) u32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_merge import (
+    LANES,
+    RING,
+    SUBS,
+    TILE,
+    TPS,
+    _flat_gather,
+    _flat_shift,
+    _rows_of,
+)
+
+
+def _suffix_sum_segmented(lpid, vals):
+    """Segmented suffix-sums of each plane in `vals`; segments = lpid runs.
+
+    Unlike the min-merge (where the circular-roll wrap is idempotent),
+    sums must NOT wrap: a whole-window single run would double-count.
+    Each step masks positions whose shifted partner wrapped past the
+    window end.
+    """
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    s = 1
+    while s < TILE:
+        rl = _flat_shift(lpid, s)
+        valid = (rl == lpid) & (flat < TILE - s)
+        vals = [
+            v + jnp.where(valid, _flat_shift(v, s), 0) for v in vals
+        ]
+        s *= 2
+    return vals
+
+
+def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
+    (spid_hbm, sdep_hbm, spay_hbm, fbd_ref,
+     outr_ref, outg_ref, outb_ref, outn_ref,
+     wpid, wdep, wpay, sems) = rest
+    prog = pl.program_id(0)
+    zero = jnp.zeros((SUBS, LANES), jnp.int32)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    t0 = prog * TPS
+    lo = cumwin_ref[t0]
+    hi = cumwin_ref[t0 + TPS]
+
+    def dma(g, slot):
+        r0 = jnp.minimum(wrow_ref[g], nrows - SUBS)
+        return [
+            pltpu.make_async_copy(
+                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot], sems.at[slot, 2]
+            ),
+        ]
+
+    for r in range(RING):
+        @pl.when(lo + r < hi)
+        def _fill(r=r):
+            for c in dma(lo + r, r):
+                c.start()
+
+    # tolerance accept: depth <= fb_depth * 1.01 in f32, exactly as the
+    # reference (huffman_hqs/render.cu:296).  fb_depth EMPTY (0xFFFFFFFF)
+    # bitcasts to NaN -> compare false -> rejected, matching the
+    # reference's cleared-buffer behavior.
+    fbd_rows = [_rows_of(fbd_ref[k * SUBS : (k + 1) * SUBS, :]) for k in range(TPS)]
+
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+
+    def body(g, acc):
+        slot = jax.lax.rem(g - lo, RING)
+        for c in dma(g, slot):
+            c.wait()
+        lt = wtile_ref[g] - t0
+        lpid = wpid[slot] - (t0 + lt) * TILE
+        lpid_c = jnp.clip(lpid, 0, TILE - 1)
+
+        fbd_here = _flat_gather(fbd_rows[0], lpid_c)
+        for k in range(1, TPS):
+            fbd_here = jnp.where(
+                lt == k, _flat_gather(fbd_rows[k], lpid_c), fbd_here
+            )
+        old = jax.lax.bitcast_convert_type(fbd_here, jnp.float32)
+        w = jax.lax.bitcast_convert_type(wdep[slot], jnp.float32)
+        # the end-of-stream DMA clamp may re-read rows already covered by
+        # this tile's previous window; unlike the min-merge, sums must
+        # drop those re-read leading entries
+        reread = (wrow_ref[g] - jnp.minimum(wrow_ref[g], nrows - SUBS)) * LANES
+        keep = (
+            (lpid == lpid_c)  # in this tile's pixel range
+            & (flat >= reread)
+            & (w <= old * jnp.float32(1.01))
+        )
+        pay = wpay[slot]
+        rr = jnp.where(keep, pay & 0xFF, 0)
+        gg = jnp.where(keep, (pay >> 8) & 0xFF, 0)
+        bb = jnp.where(keep, (pay >> 16) & 0xFF, 0)
+        nn = keep.astype(jnp.int32)
+        rr, gg, bb, nn = _suffix_sum_segmented(lpid, [rr, gg, bb, nn])
+
+        pidrows = _rows_of(lpid)
+        pos = jnp.zeros((SUBS, LANES), jnp.int32)
+        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            probe = _flat_gather(pidrows, pos + (b - 1))
+            pos = pos + (probe < iota).astype(jnp.int32) * b
+        posc = jnp.minimum(pos, TILE - 1)
+        hit = _flat_gather(pidrows, posc) == iota
+
+        @pl.when(g + RING < hi)
+        def _prefetch():
+            for c in dma(g + RING, slot):
+                c.start()
+
+        got = [
+            jnp.where(hit, _flat_gather(_rows_of(v), posc), 0)
+            for v in (rr, gg, bb, nn)
+        ]
+        # route this window's sums to its tile's accumulators
+        return tuple(
+            acc[k * 4 + j] + jnp.where(lt == k, got[j], 0)
+            for k in range(TPS) for j in range(4)
+        )
+
+    # `hit` matches only pixels of tile (t0+lt); windows of one tile are
+    # TILE-strided from first_row so they never overlap within a tile
+    # (except the end-of-stream clamp, masked via `reread` above), and
+    # foreign-tile entries fail the lpid range check — so per-pixel sums
+    # across windows add each entry exactly once.
+    acc = jax.lax.fori_loop(lo, hi, body, (zero,) * (4 * TPS))
+    for k in range(TPS):
+        sl = slice(k * SUBS, (k + 1) * SUBS)
+        outr_ref[sl, :] = acc[k * 4 + 0]
+        outg_ref[sl, :] = acc[k * 4 + 1]
+        outb_ref[sl, :] = acc[k * 4 + 2]
+        outn_ref[sl, :] = acc[k * 4 + 3]
+
+
+@partial(jax.jit, static_argnames=("size", "interpret"))
+def hqs_sums_from_sorted(spid, sdep, spay, fb_depth, size: int,
+                         interpret: bool = False):
+    """nk1 pid-sorted (pid, depthbits, rgba) + dense fb_depth ->
+    (acc_r, acc_g, acc_b, acc_n) u32 planes, reference tolerance blend
+    semantics (huffman_hqs/render.cu:274-316)."""
+    n = spid.shape[0]
+    assert n % TILE == 0, n
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+
+    bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
+    starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
+    s0, s1 = starts[:-1], starts[1:]
+    first_row = s0 // LANES
+    span = s1 - first_row * LANES
+    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
+    wmax = n // TILE + ntiles_pad
+    cumwin = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin, dtype=jnp.int32)]
+    )
+    gidx = jnp.arange(wmax, dtype=jnp.int32)
+    wtile = jnp.clip(
+        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1,
+        0, ntiles_pad - 1,
+    )
+    wrow = jnp.take(first_row, wtile) + (gidx - jnp.take(cumwin, wtile)) * SUBS
+
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint32), jnp.int32
+    ).reshape(n // LANES, LANES)
+    fbd = jnp.pad(
+        jax.lax.bitcast_convert_type(fb_depth, jnp.int32),
+        (0, ntiles_pad * TILE - size),
+        constant_values=-1,
+    ).reshape(ntiles_pad * SUBS, LANES)
+    kern = partial(_hqs_sum_kernel, nrows=n // LANES)
+    outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
+    outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
+    win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))],
+        out_specs=[outspec] * 4,
+        out_shape=[outshape] * 4,
+        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+        interpret=interpret,
+    )(cumwin, wrow, wtile, as_i32(spid), as_i32(sdep), as_i32(spay), fbd)
+
+    tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
+        ntiles_pad * TILE
+    )[:size]
+    return tuple(tou32(o) for o in outs)

@@ -39,14 +39,17 @@ SUBS = 8  # TILE // LANES
 
 
 def _rows_of(x):
-    """x (8,128) -> list of 8 (8,128) sublane-broadcasts (one per row).
+    """x (8,128) -> 8 sublane rotations: rots[s][i,j] = x[(i+s)%8, j].
 
     Hoisted out of _flat_gather so repeated gathers on the same tile
     (the 10 binary-search probes all hit the pid plane) reuse them.
+    Rotations (pltpu.roll) replace the slice+broadcast_in_dim scheme of
+    round 1: the 24 per-window sublane broadcasts were ~55% of the whole
+    merge kernel's time (experiments/r2_merge_tune.py); rolls are plain
+    vreg shuffles.
     """
     return [
-        jax.lax.broadcast_in_dim(x[s, :], (SUBS, LANES), (1,))
-        for s in range(SUBS)
+        pltpu.roll(x, shift=(SUBS - s) % SUBS, axis=0) for s in range(SUBS)
     ]
 
 
@@ -54,16 +57,17 @@ def _flat_gather(rows, pos):
     """rows = _rows_of(x); pos (8,128) flat indices in [0,1024) -> x[pos].
 
     Row-major flat index: entry k lives at (k // 128, k % 128).  TPU has
-    no 2-D in-tile gather; compose one lane-gather per source sublane
-    and select by row.
+    no 2-D in-tile gather; compose one lane-gather per rotation and
+    select the rotation that brings the target row to this sublane.
     """
     col = jnp.bitwise_and(pos, LANES - 1)
     row = jnp.right_shift(pos, 7)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    rel = (row - srow) & (SUBS - 1)
     out = jnp.zeros((SUBS, LANES), jnp.int32)
     for s in range(SUBS):
         cand = jnp.take_along_axis(rows[s], col, axis=1)
-        hit = (row == s).astype(jnp.int32)
-        out = (hit * cand) | ((1 - hit) * out)
+        out = jnp.where(rel == s, cand, out)
     return out
 
 
@@ -148,6 +152,214 @@ def _merge_kernel(firstrow_ref, nwin_ref, *rest, need_depth: bool,
         return found | take
 
     jax.lax.fori_loop(0, nw, body, jnp.zeros((SUBS, LANES), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# v2: dense framebuffer from a pid-ONLY sorted stream (nk1 sort)
+# ---------------------------------------------------------------------------
+#
+# The 3-key sort that v1 requires costs 8.4 ms at 4.2M points on v5e; a
+# single-key (pid) unstable sort carrying depth+payload costs 2.4 ms
+# (experiments/r2_sort_menu.py).  v2 accepts the nk1 stream — entries of
+# one pixel are contiguous but in ARBITRARY (depth, payload) order — and
+# restores exact u64-min semantics inside the kernel: each window gets a
+# segmented suffix-min (segments = pid runs) via log2(TILE) flat-order
+# roll steps, after which the entry at lower_bound(pid) carries the min
+# over its entire run-within-window; runs spanning window borders are
+# handled by u64-min-combining across windows (no carry needed).
+
+TPS = 4  # framebuffer tiles resolved per grid step (amortizes grid cost)
+
+
+def _flat_shift(x, s: int):
+    """out[k] = x[(k + s) % TILE] over the (8,128) row-major flat order.
+
+    pltpu.roll only takes non-negative (downward) shifts; an upward
+    shift by s is a circular roll by n - s.
+    """
+    if s % LANES == 0:
+        return pltpu.roll(x, shift=SUBS - (s // LANES) % SUBS, axis=0)
+    a = pltpu.roll(x, shift=LANES - s, axis=1)
+    b = pltpu.roll(a, shift=SUBS - 1, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    return jnp.where(col < LANES - s, a, b)
+
+
+def _suffix_min_u64(lpid, d, p):
+    """Segmented suffix-min of (d,p) u64 keys; segments = runs of lpid.
+
+    lpid ascending (8,128) row-major flat; i32 compares are safe: depth
+    bits of w>0 points have sign bit 0, payloads are RGB<<0|..<= 2^24,
+    and the EMPTY sentinel never appears inside a window.
+    """
+    s = 1
+    while s < TILE:
+        rl = _flat_shift(lpid, s)
+        rd = _flat_shift(d, s)
+        rp = _flat_shift(p, s)
+        valid = rl == lpid
+        less = (rd < d) | ((rd == d) & (rp < p))
+        take = valid & less
+        d = jnp.where(take, rd, d)
+        p = jnp.where(take, rp, p)
+        s *= 2
+    return d, p
+
+
+def _merge_nk1_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
+    (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
+     wpid, wdep, wpay, sems) = rest
+    prog = pl.program_id(0)
+    # depth/payload compares must be UNSIGNED: bias by XOR 0x80000000 so
+    # signed i32 compares order like u32.  The best-so-far identity is
+    # then 0x7FFFFFFF == biased u32-max == biased EMPTY: untouched
+    # pixels unbias to the EMPTY sentinel with no extra select.
+    bias = jnp.int32(-0x80000000)
+    maxi = jnp.full((SUBS, LANES), 0x7FFFFFFF, jnp.int32)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    t0 = prog * TPS
+    lo = cumwin_ref[t0]
+    hi = cumwin_ref[t0 + TPS]
+
+    def dma(g, slot):
+        r0 = jnp.minimum(wrow_ref[g], nrows - SUBS)
+        return [
+            pltpu.make_async_copy(
+                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot], sems.at[slot, 2]
+            ),
+        ]
+
+    # prologue: fill the DMA ring across tile boundaries — the deep
+    # pipeline is the point: post-collapse frames average ~1 window per
+    # tile, so a per-tile double buffer would expose every DMA's latency
+    for r in range(RING):
+        @pl.when(lo + r < hi)
+        def _fill(r=r):
+            for c in dma(lo + r, r):
+                c.start()
+
+    # loop: wait, process, then prefetch g+RING into the freed slot
+    def body2(g, best):
+        bd0, bp0, bd1, bp1, bd2, bp2, bd3, bp3 = best
+        slot = jax.lax.rem(g - lo, RING)  # prologue filled slots 0..R-1
+        for c in dma(g, slot):
+            c.wait()
+        lt = wtile_ref[g] - t0  # 0..TPS-1 local tile of this window
+        lpid = wpid[slot] - (t0 + lt) * TILE
+        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
+
+        pidrows = _rows_of(lpid)
+        pos = jnp.zeros((SUBS, LANES), jnp.int32)
+        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            probe = _flat_gather(pidrows, pos + (b - 1))
+            pos = pos + (probe < iota).astype(jnp.int32) * b
+        posc = jnp.minimum(pos, TILE - 1)
+        hit = _flat_gather(pidrows, posc) == iota
+        cd = _flat_gather(_rows_of(dep), posc)
+        cp = _flat_gather(_rows_of(pay), posc)
+
+        @pl.when(g + RING < hi)
+        def _prefetch():
+            for c in dma(g + RING, slot):
+                c.start()
+
+        def upd(bd, bp, k):
+            mine = lt == k
+            less = (cd < bd) | ((cd == bd) & (cp < bp))
+            take = mine & hit & less
+            return jnp.where(take, cd, bd), jnp.where(take, cp, bp)
+
+        bd0, bp0 = upd(bd0, bp0, 0)
+        bd1, bp1 = upd(bd1, bp1, 1)
+        bd2, bp2 = upd(bd2, bp2, 2)
+        bd3, bp3 = upd(bd3, bp3, 3)
+        return bd0, bp0, bd1, bp1, bd2, bp2, bd3, bp3
+
+    init = (maxi, maxi, maxi, maxi, maxi, maxi, maxi, maxi)
+    out = jax.lax.fori_loop(lo, hi, body2, init)
+    for k in range(TPS):
+        outp_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k + 1] ^ bias
+        outd_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k] ^ bias
+
+
+RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
+
+
+@partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
+def dense_from_sorted_nk1(spid, sdep, spay, size: int,
+                          need_depth: bool = True, interpret: bool = False):
+    """(pid-sorted pid, depth, payload) -> dense (fb_d, fb_p), EMPTY-filled.
+
+    spid must be ascending with OOB entries (pid >= size) at the end;
+    (depth, payload) may be in ANY order within a pixel run — the kernel
+    computes the exact u64 (depth<<32|payload) min per pixel.  Unlike v1
+    this only needs a num_keys=1 sort (3.5-6.7x cheaper on TPU).  The
+    window list is flattened across tiles (SMEM tables wrow/wtile with
+    per-program cumwin bounds) so the DMA ring stays RING-deep even when
+    most tiles have a single window.  Both fb planes always materialize
+    (the u64 min needs depth regardless); need_depth only controls
+    whether fb_d is returned.
+    """
+    n = spid.shape[0]
+    assert n % TILE == 0, n
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+
+    bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
+    starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
+    s0, s1 = starts[:-1], starts[1:]
+    first_row = s0 // LANES
+    span = s1 - first_row * LANES
+    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
+
+    # flat window tables: window g -> (tile, start row).  Static bound:
+    # every tile adds <= 1 partial window on top of n/TILE full ones.
+    wmax = n // TILE + ntiles_pad
+    cumwin = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin, dtype=jnp.int32)]
+    )
+    gidx = jnp.arange(wmax, dtype=jnp.int32)
+    wtile = (
+        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1
+    )
+    wtile = jnp.clip(wtile, 0, ntiles_pad - 1)
+    wrow = jnp.take(first_row, wtile) + (gidx - jnp.take(cumwin, wtile)) * SUBS
+
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint32), jnp.int32
+    ).reshape(n // LANES, LANES)
+    kern = partial(_merge_nk1_kernel, nrows=n // LANES)
+    outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
+    outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
+    win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[outspec] * 2,
+        out_shape=[outshape] * 2,
+        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+        interpret=interpret,
+    )(cumwin, wrow, wtile, as_i32(spid), as_i32(sdep), as_i32(spay))
+    outd, outp = outs
+
+    tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
+        ntiles_pad * TILE
+    )[:size]
+    fb_p = tou32(outp)
+    fb_d = tou32(outd) if need_depth else None
+    return fb_d, fb_p
 
 
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))

@@ -118,15 +118,21 @@ def sorted_resolve_u64_min(pid, depth, payload, size: int,
     on TPU the planes are separate scatters, so color-only frames can
     drop one.
     """
+    if use_pallas and pid.shape[0] % 1024 == 0:
+        # scatter-free dense construction from a 1-key sort: sorting by
+        # pid alone costs 2.4 ms at 4.2M vs 8.4 ms for the 3-key sort
+        # (experiments/r2_sort_menu.py); the merge kernel restores exact
+        # u64 (depth<<32|payload) min order in-register per window
+        from .pallas_merge import dense_from_sorted_nk1
+
+        spid, sdep, spay = jax.lax.sort(
+            [pid.astype(jnp.uint32), depth, payload],
+            num_keys=1, is_stable=False,
+        )
+        return dense_from_sorted_nk1(spid, sdep, spay, size, need_depth)
     spid, sdep, spay = jax.lax.sort(
         [pid.astype(jnp.uint32), depth, payload], num_keys=3, is_stable=False
     )
-    if use_pallas and spid.shape[0] % 1024 == 0:
-        # scatter-free dense construction: TPU scatter is serialized at
-        # ~4.8 ns/slot; the Pallas monotone-merge kernel is 4-6x faster
-        from .pallas_merge import dense_from_sorted
-
-        return dense_from_sorted(spid, sdep, spay, size, need_depth)
     head = jnp.concatenate([jnp.ones(1, bool), spid[1:] != spid[:-1]]) & (
         spid < size
     )

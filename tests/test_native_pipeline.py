@@ -10,12 +10,12 @@ from pcrhpg24_tpu.engine.renderer import Renderer, Setting
 from pcrhpg24_tpu.engine.resource import HuffmanLasData
 from pcrhpg24_tpu.formats.las import write_las
 from pcrhpg24_tpu.formats.native_file import (
+    decode_tpc_batch_coords,
     read_tpc_batch,
     read_tpc_header,
     transcode_huffman_to_tpc,
 )
 from pcrhpg24_tpu.preprocess import preprocess_las, preprocess_las_tpc
-from pcrhpg24_tpu.codec.native import decode_native_batch
 from pcrhpg24_tpu.render.methods.huffman_mem_iter import HuffmanMemIter
 from pcrhpg24_tpu.render.methods.huffman_tpu import HuffmanTpu
 from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
@@ -41,8 +41,9 @@ def test_tpc_file_roundtrip(paths):
     _las, _huf, tpc = paths
     hdr = read_tpc_header(tpc)
     assert hdr.num_batches == 3
+    assert hdr.version == 2  # flagship format is v2 fixed-width
     nb, color = read_tpc_batch(tpc, hdr, 1)
-    coords = decode_native_batch(nb)  # must decode without error
+    coords = decode_tpc_batch_coords(nb)  # must decode without error
     assert coords.shape == (65536, 3)
     assert len(color) == 65536 // 8
 
@@ -61,7 +62,7 @@ def test_transcode_matches_direct(paths):
             a, ca = read_tpc_batch(tpc, h1, i)
             b, cb = read_tpc_batch(tpc2, h2, i)
             np.testing.assert_array_equal(
-                decode_native_batch(a), decode_native_batch(b)
+                decode_tpc_batch_coords(a), decode_tpc_batch_coords(b)
             )
             np.testing.assert_array_equal(ca, cb)
 
@@ -146,7 +147,7 @@ def test_lod_bucketed_decode_matches_full(paths):
         jnp.asarray(data.offset - data.las_min, jnp.float32),
     )
     kw = dict(width=W, height=H, mode="color", nchunks=1, use_pallas=False,
-              cull=True)
+              cull=True, fmt="fixed" if data.version == 2 else "tbatch")
     bucket = max(16, -(-max_lod // 16) * 16)
     _d1, p1, img1 = render_frame_native(data.dev, jnp.asarray(fp), *consts,
                                         points=bucket, **kw)
@@ -190,3 +191,34 @@ def test_capture_depth_gate(paths, tmp_path):
     assert (np.load(str(tmp_path / "d.npy")) != 0).any()
     np.testing.assert_array_equal(img_nodepth, img_depth)
     data.unload(r)
+
+
+def test_colorize_overdraw_heatmap(paths):
+    """Debug.colorize_overdraw renders the 5-bucket spectral heatmap
+    (reference: compute_loop_las_hqs/resolve.cs:54-103)."""
+    _las, _huf, tpc = paths
+    from pcrhpg24_tpu.engine.method import Runtime
+
+    Runtime.resource = None
+    Debug.lod = 1.0
+    Debug.colorize_overdraw = True
+    try:
+        data = NativeLasData.create(tpc)
+        r = Renderer(W, H)
+        r.apply_setting(
+            Setting(yaw=0.7, pitch=-0.7, radius=800.0, target=(450, 450, 100))
+        )
+        m = HuffmanTpu(r, data)
+        m.update(r)
+        data.wait_loaded(r)
+        img = np.asarray(r.loop(m.update, m.render, frames=1))
+        spectral = {0x00BA832B, 0x00A4DDAB, 0x00BFFFFF, 0x0061AEFD,
+                    0x001C19D7, 0x00443322}
+        vals = set(np.unique(img).tolist())
+        assert vals <= spectral, f"unexpected heatmap colors {vals - spectral}"
+        assert len(vals & (spectral - {0x00443322})) >= 1  # some coverage
+        counts = np.asarray(r.last_fb[1])
+        assert counts.sum() > 0
+        data.unload(r)
+    finally:
+        Debug.colorize_overdraw = False

@@ -59,3 +59,88 @@ def test_merge_all_oob_and_empty_tiles():
     d, p = dense_from_sorted(pid, dep, pay, SIZE, True, interpret=True)
     assert (np.asarray(p) == 0xFFFFFFFF).all()
     assert (np.asarray(d) == 0xFFFFFFFF).all()
+
+
+# ------------------------- v2: nk1-sorted stream -------------------------
+
+
+@pytest.mark.parametrize("seed,oob", [(3, 0.4), (4, 0.0), (5, 0.95)])
+def test_merge_nk1_matches_scatter(seed, oob):
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_nk1
+
+    pid, dep, pay = _mk(16 * 1024, seed=seed, oob_frac=oob)
+    ref_d, ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
+    # single-key sort: depth/payload arrive in arbitrary order per run
+    spid, sdep, spay = jax.lax.sort([pid, dep, pay], num_keys=1,
+                                    is_stable=False)
+    got_d, got_p = dense_from_sorted_nk1(
+        spid, sdep, spay, SIZE, True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_merge_nk1_heavy_collisions_and_ties():
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_nk1
+
+    rng = np.random.default_rng(9)
+    n = 8192
+    # everything lands on 5 pixels spanning a tile border; depth ties
+    # with differing payloads must break by payload min
+    pid = rng.choice([1022, 1023, 1024, 1025, 40000], n).astype(np.uint32)
+    dep = rng.integers(0, 4, n).astype(np.uint32)
+    pay = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    ref_d, ref_p = sorted_resolve_u64_min(
+        jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay), SIZE, True
+    )
+    spid, sdep, spay = jax.lax.sort(
+        [jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay)],
+        num_keys=1, is_stable=False,
+    )
+    got_d, got_p = dense_from_sorted_nk1(
+        spid, sdep, spay, SIZE, True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_hqs_sums_from_sorted_matches_scatter_add():
+    """Segmented suffix-sum kernel == direct per-pixel accumulation,
+    including the reference depth-tolerance accept (render.cu:296)."""
+    from pcrhpg24_tpu.render.pallas_hqs import hqs_sums_from_sorted
+
+    rng = np.random.default_rng(11)
+    n = 16 * 1024
+    pid = rng.integers(0, SIZE, n).astype(np.uint32)
+    pid[rng.random(n) < 0.3] = SIZE
+    # heavy collisions incl. a whole-window single run
+    pid[:2048] = 777
+    w = (rng.random(n).astype(np.float32) * 100 + 1).astype(np.float32)
+    dep = w.view(np.uint32)
+    rgba = rng.integers(0, 2**24, n, dtype=np.uint64).astype(np.uint32)
+
+    # dense depth plane: per-pixel min depth (EMPTY elsewhere)
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    for i in range(n):
+        if pid[i] < SIZE:
+            fbd[pid[i]] = min(fbd[pid[i]], dep[i])
+
+    accs = np.zeros((4, SIZE), np.uint32)
+    old = fbd.view(np.float32)
+    for i in range(n):
+        p = pid[i]
+        if p < SIZE and w[i] <= old[p] * np.float32(1.01):
+            accs[0, p] += rgba[i] & 0xFF
+            accs[1, p] += (rgba[i] >> 8) & 0xFF
+            accs[2, p] += (rgba[i] >> 16) & 0xFF
+            accs[3, p] += 1
+
+    spid, sdep, spay = jax.lax.sort(
+        [jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(rgba)],
+        num_keys=1, is_stable=False,
+    )
+    got = hqs_sums_from_sorted(
+        spid, sdep, spay, jnp.asarray(fbd), SIZE, interpret=True
+    )
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(got[k]), accs[k])
