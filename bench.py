@@ -154,6 +154,13 @@ def main() -> int:
         fp[23] = float(las.num_batches_loaded)
         fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
         fpd = jnp.asarray(fp)
+        from pcrhpg24_tpu.render.camera import batch_translations
+
+        tbd = jnp.asarray(batch_translations(
+            (cam.proj() @ cam.view()),
+            las.anchor_i[: las.dev["anchor"].shape[0]],
+            las.scale, las.offset, las.las_min,
+        ))
         kw = dict(width=W, height=H, mode="color",
                   nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
                   cull=True, need_depth=False,
@@ -164,7 +171,8 @@ def main() -> int:
             acc = jnp.uint32(0)
             fp0 = fp
             for _ in range(k):
-                _fd, _fp2, img = render_frame_native(dev, fp0, scale, offset_rel, **kw)
+                _fd, _fp2, img = render_frame_native(
+                    dev, fp0, scale, offset_rel, tb=tbd, **kw)
                 probe = img[0, 0]
                 tok = jnp.where(probe == jnp.uint32(123456789), 1.0, 0.0)
                 fp0 = fp + tok.astype(jnp.float32)

@@ -16,7 +16,8 @@ from pcrhpg24_tpu.render.methods.huffman_mem_iter import _slice_rows
 
 W, H = 1920, 1080
 Debug.lod = 1.0
-las = NativeLasData.create("out/bench_64.tpc")
+import os
+las = NativeLasData.create(os.environ.get("SCENE", "out/bench_64.tpc"))
 assert las.version == 2
 r = Renderer(W, H)
 r.apply_setting(Setting(yaw=0.5, pitch=-0.9, radius=2500.0, target=(1000.0, 1000.0, 100.0)))
@@ -50,8 +51,8 @@ def slope(fn):
     return (ts[4] - ts[1]) / 3 * 1e3
 
 def decode_only(t):
-    c = decode_fixed_batches(dev["widths"][:64], dev["streams"][:64],
-                             dev["ptrs"][:64], dev["starts"][:64])
+    c = decode_fixed_batches(dev["widths"], dev["streams"],
+                             dev["ptrs"], dev["starts"])
     return (c.reshape(-1)[:8].astype(jnp.uint32) + t[0, 0].astype(jnp.uint32),)
 
 def chunk_only(t):
@@ -78,6 +79,26 @@ print(f"decode only      : {slope(decode_only):7.2f} ms", flush=True)
 print(f"decode+proj+clps : {slope(chunk_only):7.2f} ms", flush=True)
 print(f"  + nk1 sort     : {slope(chunk_sort):7.2f} ms", flush=True)
 print(f"  + merge (full) : {slope(full):7.2f} ms", flush=True)
+
+from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
+fp = np.zeros(40, np.float32)
+cam = r.camera
+fp[0:16] = cam.view().astype(np.float32).reshape(-1)
+fp[16:22] = cam.proj_params().astype(np.float32)
+fp[22] = 1.0
+fp[23] = float(las.num_batches_loaded)
+fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+fpd = jnp.asarray(fp)
+nch = (las.num_batches_loaded + CHUNK - 1) // CHUNK
+
+def frame(t):
+    _d, _p, img = render_frame_native(
+        dev, fpd + 0 * t[0, 0], scale, offset_rel, width=W, height=H,
+        mode="color", nchunks=nch, use_pallas=True, cull=True,
+        need_depth=False, fmt="fixed")
+    return (img.reshape(-1),)
+
+print(f"render_frame_native: {slope(frame):7.2f} ms", flush=True)
 
 # exactness of the full nk1 resolve on REAL TPU vs the XLA dedup path
 from pcrhpg24_tpu.render.raster import sorted_resolve_u64_min

@@ -95,6 +95,29 @@ def encode_fixed_batch(x, y, z) -> "FixedBatch":
     from .batch_codec import chain_deltas
 
     deltas, starts = chain_deltas(x, y, z)  # (1024, 192) i64, (1024, 3)
+
+    # fast path: byte-identical C++ core (pcrhpg24_tpu/native,
+    # asserted in tests/test_native_cpp.py)
+    from .. import native as _ncore
+
+    if _ncore.available():
+        maxw = 16384
+        out = None
+        while out is None:
+            out = _ncore.encode_fixed_batch_streams(
+                deltas.astype(np.int32), maxw
+            )
+            maxw *= 2
+        streams_c, widths_c, ptrs_c = out
+        return FixedBatch(
+            streams=streams_c,
+            widths=widths_c,
+            start_values=starts.astype(np.int32),
+            bbox_min_i=np.array([x.min(), y.min(), z.min()], np.int32),
+            bbox_max_i=np.array([x.max(), y.max(), z.max()], np.int32),
+            round_ptrs=ptrs_c,
+        )
+
     zz = zigzag32(deltas.astype(np.int32)).reshape(1024, P, 3)
     widths = _bitlen32(zz).max(axis=1)  # (1024, 3)
     W = widths.sum(axis=1)  # (1024,) bits per point, <= 96

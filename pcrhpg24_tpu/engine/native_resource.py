@@ -47,6 +47,10 @@ class NativeLasData(Resource):
         self.las_min = np.asarray(self.header.las_min)
         self.bbox_min = np.zeros((self.num_batches, 3), np.float32)
         self.bbox_max = np.zeros((self.num_batches, 3), np.float32)
+        from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
+        b_pad = -(-self.num_batches // _NCHUNK) * _NCHUNK
+        # per-batch i32 anchors for batch-relative (f64-precision) projection
+        self.anchor_i = np.zeros((b_pad, 3), np.int64)
         self._queue: Queue = Queue()
         self._thread = None
         self._abort = threading.Event()
@@ -70,6 +74,7 @@ class NativeLasData(Resource):
                 colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
                 bbox_min=jnp.zeros((B, 3), jnp.float32),
                 bbox_max=jnp.zeros((B, 3), jnp.float32),
+                anchor=jnp.zeros((B, 3), jnp.int32),
             )
         else:
             self.dev = dict(
@@ -82,6 +87,7 @@ class NativeLasData(Resource):
                 colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
                 bbox_min=jnp.zeros((B, 3), jnp.float32),
                 bbox_max=jnp.zeros((B, 3), jnp.float32),
+                anchor=jnp.zeros((B, 3), jnp.int32),
             )
         self._abort.clear()
         self._thread = threading.Thread(target=self._loader_main, daemon=True)
@@ -133,6 +139,17 @@ class NativeLasData(Resource):
                 d[key] = _upload_rows(d[key], start, jnp.asarray(packed[key]))
             colors = np.stack([c for _nb, c in items]).astype(np.uint32)
             d["colors"] = _upload_rows(d["colors"], start, jnp.asarray(colors))
+            # component-wise chain-start minimum: identical for the same
+            # batch across formats, so the XLA .huffman path and this one
+            # produce bit-identical projections (tests/fbcompare)
+            anchors = np.stack([
+                np.asarray(nb.start_values).reshape(-1, 3).min(axis=0)
+                for nb, _c in items
+            ]).astype(np.int64)
+            self.anchor_i[start : start + len(items)] = anchors
+            d["anchor"] = _upload_rows(
+                d["anchor"], start, jnp.asarray(anchors.astype(np.int32))
+            )
             for i, (nb, _c) in enumerate(items):
                 bmin = nb.bbox_min_i.astype(np.float64) * self.scale + self.offset
                 bmax = nb.bbox_max_i.astype(np.float64) * self.scale + self.offset

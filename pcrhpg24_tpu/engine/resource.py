@@ -82,6 +82,9 @@ class HuffmanLasData(Resource):
         self.las_min = None
         self.bbox_min = np.zeros((self.num_batches, 3), np.float32)
         self.bbox_max = np.zeros((self.num_batches, 3), np.float32)
+        b_pad = -(-self.num_batches // RENDER_CHUNK_BATCHES) * RENDER_CHUNK_BATCHES
+        # per-batch i32 anchors for batch-relative (f64-precision) projection
+        self.anchor_i = np.zeros((b_pad, 3), np.int64)
         self._queue: Queue = Queue()
         self._thread: threading.Thread | None = None
         self._abort = threading.Event()
@@ -115,6 +118,7 @@ class HuffmanLasData(Resource):
             table_cw_len=jnp.zeros((B, 4096), jnp.int32),
             start_values=jnp.zeros((B, WORKGROUP_SIZE, 3), jnp.int32),
             colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+            anchor=jnp.zeros((B, 3), jnp.int32),
         )
         self._abort.clear()
         self._thread = threading.Thread(target=self._loader_main, daemon=True)
@@ -211,6 +215,16 @@ class HuffmanLasData(Resource):
         d["colors"] = _upload_rows(
             d["colors"], start,
             jnp.asarray(np.stack([d_.color for d_ in dumps]).astype(np.uint32)),
+        )
+        # anchor: exact per-batch i32 reference point (reference format has
+        # no integer bbox; the component-wise start_values minimum serves)
+        anchors = np.stack([
+            np.asarray(d_.start_values).reshape(-1, 3).min(axis=0)
+            for d_ in dumps
+        ]).astype(np.int64)
+        self.anchor_i[start : start + n] = anchors
+        d["anchor"] = _upload_rows(
+            d["anchor"], start, jnp.asarray(anchors.astype(np.int32))
         )
 
         for i, dump in enumerate(dumps):

@@ -55,6 +55,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.encode_fixed_batch.restype = ctypes.c_int
+    lib.encode_fixed_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.encode_ref_batch.restype = ctypes.c_int
     lib.encode_ref_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -150,3 +155,24 @@ def decode_ref_batch_deltas(encoding, cluster_sizes, separate, separate_sizes,
     )
     assert rc == 0
     return out
+
+
+def encode_fixed_batch_streams(deltas: np.ndarray, maxw: int):
+    """C++ path of codec/fixed.py's pack + uniform-round interleave.
+
+    deltas: (1024, 192) i32.  Returns (streams (8,nwords) u32,
+    widths (1024,3) u8, round_ptrs (64,) i32) or None when maxw too
+    small."""
+    lib = get_lib()
+    deltas = np.ascontiguousarray(deltas, np.int32)
+    widths = np.zeros((1024, 3), np.uint8)
+    stream = np.zeros((8, maxw), np.uint32)
+    nwords = ctypes.c_int64()
+    ptrs = np.zeros(64, np.int32)
+    rc = lib.encode_fixed_batch(
+        deltas.ctypes.data, widths.ctypes.data, stream.ctypes.data,
+        ctypes.byref(nwords), ptrs.ctypes.data, maxw,
+    )
+    if rc != 0:
+        return None
+    return stream[:, : nwords.value].copy(), widths, ptrs

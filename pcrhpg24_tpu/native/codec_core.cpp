@@ -309,3 +309,87 @@ int decode_ref_batch(const uint32_t* encoding, int64_t e_len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// TPU-native fixed-width (fbatch, .tpc v2) encoder — codec/fixed.py mirror
+// ---------------------------------------------------------------------------
+// deltas:      1024*192 int32 (lane-major interleaved x y z)
+// out_widths:  1024*3 uint8 per-chain component bit widths
+// out_stream:  kGroupsPerBatch * maxw uint32 (zero-filled by callee)
+// out_nwords:  int64 (per-group padded stream length)
+// out_ptrs:    64 int32 uniform round base word index
+// returns 0 on success, -1 if the stream exceeds maxw.
+int encode_fixed_batch(const int32_t* deltas, uint8_t* out_widths,
+                       uint32_t* out_stream, int64_t* out_nwords,
+                       int32_t* out_ptrs, int64_t maxw) {
+  constexpr int kPts = 64;
+  static_assert(kSymsPerLane == kPts * 3, "layout");
+
+  std::vector<int> W(kLanes);
+  std::vector<std::vector<uint32_t>> lane_words(kLanes);
+  std::vector<uint32_t> zz(kSymsPerLane);
+  for (int l = 0; l < kLanes; ++l) {
+    const int32_t* d = deltas + int64_t(l) * kSymsPerLane;
+    int w[3] = {0, 0, 0};
+    for (int i = 0; i < kSymsPerLane; ++i) {
+      uint32_t z = (uint32_t(d[i]) << 1) ^ uint32_t(d[i] >> 31);
+      zz[i] = z;
+      int bl = z == 0 ? 0 : 32 - __builtin_clz(z);
+      int c = i % 3;
+      if (bl > w[c]) w[c] = bl;
+    }
+    out_widths[l * 3 + 0] = uint8_t(w[0]);
+    out_widths[l * 3 + 1] = uint8_t(w[1]);
+    out_widths[l * 3 + 2] = uint8_t(w[2]);
+    W[l] = w[0] + w[1] + w[2];
+    BitPacker pk;
+    pk.reserve_bits(int64_t(kPts) * W[l]);
+    for (int i = 0; i < kPts; ++i)
+      for (int c = 0; c < 3; ++c)
+        if (w[c]) pk.push(zz[i * 3 + c], w[c]);
+    pk.finish();
+    lane_words[l] = std::move(pk.words);
+  }
+
+  // lazy-refill counts: count[l][i] = ceil((i+1)W/32) - ceil(iW/32);
+  // uniform round width = max over groups of the group's count sum
+  int32_t ptr = 0;
+  std::vector<int64_t> prev_ce(kLanes, 0);
+  std::vector<int64_t> widx(kLanes, 0);
+  for (int i = 0; i < kPts; ++i) {
+    out_ptrs[i] = ptr;
+    int round_words = 0;
+    for (int g = 0; g < kGroupsPerBatch; ++g) {
+      int sum = 0;
+      for (int l = g * kLanesPerGroup; l < (g + 1) * kLanesPerGroup; ++l) {
+        int64_t ce = (int64_t(i + 1) * W[l] + 31) >> 5;
+        sum += int(ce - prev_ce[l]);
+      }
+      if (sum > round_words) round_words = sum;
+    }
+    // emit: per group, lanes in order take their words; pad to round_words
+    if (int64_t(ptr) + round_words > maxw) return -1;
+    for (int g = 0; g < kGroupsPerBatch; ++g) {
+      uint32_t* gs = out_stream + int64_t(g) * maxw;
+      int o = ptr;
+      for (int l = g * kLanesPerGroup; l < (g + 1) * kLanesPerGroup; ++l) {
+        int64_t ce = (int64_t(i + 1) * W[l] + 31) >> 5;
+        for (int64_t k = prev_ce[l]; k < ce; ++k) {
+          gs[o++] = widx[l] < int64_t(lane_words[l].size())
+                        ? lane_words[l][widx[l]]
+                        : 0u;
+          ++widx[l];
+        }
+      }
+    }
+    for (int l = 0; l < kLanes; ++l)
+      prev_ce[l] = (int64_t(i + 1) * W[l] + 31) >> 5;
+    ptr += round_words;
+  }
+  *out_nwords = ptr;
+  return 0;
+}
+
+}  // extern "C"

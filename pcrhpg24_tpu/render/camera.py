@@ -249,3 +249,26 @@ def frame_setup_device(view, proj_params, bbox_min, bbox_max, n_loaded,
 
     loaded = jnp.arange(B) < n_loaded
     return jnp.where(loaded, n, 0)
+
+
+def batch_translations(wvp: np.ndarray, anchors_i: np.ndarray,
+                       scale, offset, las_min) -> np.ndarray:
+    """Per-batch folded translation column, computed in f64 (B, 4) f32.
+
+    The reference switches to a double-precision decode+project path for
+    close-up batches (UseDouble = pixelSize >= 100, render.cu:346-379,
+    459-461) because absolute f32 coordinates of km-scale clouds lose
+    millimetres.  The TPU-shaped equivalent: decode to batch-relative
+    i32 (subtract an exact per-batch anchor), keep the f32 projection on
+    the small relative coordinates, and fold the anchor's world-space
+    contribution into this per-batch translation column — computed here
+    on the host in f64, which costs O(batches), not O(points).
+
+    Tb[b, i] = sum_j wvp[i,j] * (anchor[b]*scale + offset - las_min)[j]
+               + wvp[i,3]
+    """
+    world = anchors_i.astype(np.float64) * np.asarray(scale, np.float64) \
+        + np.asarray(offset, np.float64) - np.asarray(las_min, np.float64)
+    wvp = np.asarray(wvp, np.float64)
+    tb = world @ wvp[:, :3].T + wvp[:, 3]
+    return tb.astype(np.float32)

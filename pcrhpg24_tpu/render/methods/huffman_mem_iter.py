@@ -53,12 +53,13 @@ def render_chunk(
     transform,  # (4,4) f32 worldViewProj
     lod_n,  # (B,) i32 points-per-thread budget (0 == culled)
     scale,  # (3,) f32
-    offset_rel,  # (3,) f32 == las_offset - las_min
+    offset_rel,  # (3,) f32 == las_offset - las_min (legacy; kept for LOD)
     width: int,
     height: int,
     mode: str,
     fb_d,
     fb_p,
+    tb=None,  # (B, 4) f32 per-batch folded translations (batch-relative path)
 ):
     C = CHUNK
     enc_offsets = _slice_rows(dev["enc_offsets"], chunk_start, C)
@@ -76,7 +77,14 @@ def render_chunk(
         sep_offsets, separate_sizes, table_values, table_cw_len, start_values,
     )  # (C, 1024, 64, 3) i32
 
-    pos = coords.astype(jnp.float32) * scale + offset_rel  # (C,1024,64,3)
+    if tb is not None:
+        # batch-relative precision: the reference's f64 close-up path
+        # (render.cu:459-461) — exact i32 offsets from a per-batch
+        # anchor, anchor's world contribution folded into tb (f64 host)
+        anchor = _slice_rows(dev["anchor"], chunk_start, C)  # (C, 3) i32
+        pos = (coords - anchor[:, None, None, :]).astype(jnp.float32) * scale
+    else:
+        pos = coords.astype(jnp.float32) * scale + offset_rel  # (C,1024,64,3)
 
     # LOD point mask: thread-local index i < n_b (render.cu:428 loop bound)
     pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
@@ -97,14 +105,22 @@ def render_chunk(
         payload = bc1_payload_reference(colors, coords.shape[:3]).astype(jnp.uint32)
 
     size = width * height
-    p = pos.reshape(-1, 3)
+    t = transform.astype(jnp.float32)
+    x, y, z = pos[..., 0], pos[..., 1], pos[..., 2]  # (C, 1024, 64)
+    if tb is not None:
+        tbc = _slice_rows(tb, chunk_start, C)
+        add = lambda i: tbc[:, i][:, None, None]
+    else:
+        add = lambda i: t[i, 3]
+    cx = t[0, 0] * x + t[0, 1] * y + t[0, 2] * z + add(0)
+    cy = t[1, 0] * x + t[1, 1] * y + t[1, 2] * z + add(1)
+    w = t[3, 0] * x + t[3, 1] * y + t[3, 2] * z + add(3)
+
+    ndc_x = (cx / w).reshape(-1)
+    ndc_y = (cy / w).reshape(-1)
+    w = w.reshape(-1)
     pay = payload.reshape(-1)
     m = mask.reshape(-1)
-
-    clip = project(p, transform)
-    w = clip[:, 3]
-    ndc_x = clip[:, 0] / w
-    ndc_y = clip[:, 1] / w
     ok = m & (w > 0) & (jnp.abs(ndc_x) <= 1) & (jnp.abs(ndc_y) <= 1)
     px = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
     py = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
@@ -150,7 +166,7 @@ class HuffmanMemIter(Method):
             vis = batches_in_frustum(planes, bmin, bmax)
         else:
             vis = np.ones(B, bool)
-        n_pts, _use_double = lod_points_per_thread(
+        n_pts, use_double = lod_points_per_thread(
             view, proj, bmin, bmax, W, H, POINTS_PER_THREAD, Debug.lod
         )
         b_pad = -(-las.num_batches // CHUNK) * CHUNK
@@ -161,6 +177,12 @@ class HuffmanMemIter(Method):
         Debug.push_frame_stat("#batches visible", str(int(vis.sum())))
         Debug.push_frame_stat(
             "#points budget", f"{int(lod_full.astype(np.int64).sum() * 1024):,}"
+        )
+        # the reference routes these batches through its f64 path
+        # (render.cu:346-379); here EVERY batch projects batch-relative
+        # with an f64-folded translation, so this is reporting-only
+        Debug.push_frame_stat(
+            "#batches close-up (f64-class precision)", str(int(use_double.sum()))
         )
         return wvp, lod_full
 
@@ -188,11 +210,18 @@ class HuffmanMemIter(Method):
         offset_rel = jnp.asarray(las.offset - las.las_min, jnp.float32)
         t = jnp.asarray(wvp)
 
+        from ..camera import batch_translations
+
+        tb = jnp.asarray(batch_translations(
+            (renderer.camera.proj() @ renderer.camera.view()),
+            las.anchor_i[: las.dev["anchor"].shape[0]],
+            las.scale, las.offset, las.las_min,
+        ))
         nchunks = (B + CHUNK - 1) // CHUNK
         for c in range(nchunks):
             fb_d, fb_p = render_chunk(
                 las.dev, c * CHUNK, t, lod_dev, scale, offset_rel,
-                W, H, mode, fb_d, fb_p,
+                W, H, mode, fb_d, fb_p, tb,
             )
 
         renderer.last_fb = (fb_d, fb_p)

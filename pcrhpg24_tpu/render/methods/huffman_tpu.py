@@ -22,7 +22,7 @@ from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_fixed_xla, decode_native_xla
 from ..pallas_decode import decode_native_batches
 from ..pallas_decode_fixed import decode_fixed_batches
-from ..raster import EMPTY, resolve, sorted_resolve_u64_min
+from ..raster import EMPTY, resolve, sorted_resolve_u64_min_parts
 from ..camera import frame_setup_device
 from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 
@@ -34,14 +34,18 @@ CHUNK = 64
 def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
     width: int, height: int, mode: str, use_pallas: bool = True,
-    points: int = POINTS_PER_THREAD, fmt: str = "tbatch",
+    points: int = POINTS_PER_THREAD, fmt: str = "tbatch", tb=None,
 ):
     """Decode + project one chunk; returns flat (pid, depth, payload).
 
-    Chunks no longer resolve individually: the frame concatenates every
-    chunk's streams and resolves once (one global sort preserves the
-    exact u64-min winner across chunks without per-chunk depth planes).
+    Chunks no longer resolve individually: each chunk's stream is sorted
+    separately and the merge kernel min-combines the streams (exact
+    u64-min winners across chunks).
     fmt: "fixed" (v2 fbatch, flagship) or "tbatch" (v1 bucket-Huffman).
+    tb: optional (B, 4) f32 per-batch folded translation columns
+    (camera.batch_translations) — when given, coordinates are projected
+    batch-RELATIVE to dev["anchor"], the TPU equivalent of the
+    reference's double-precision close-up path (render.cu:459-461).
     """
     C = CHUNK
     if fmt == "fixed":
@@ -68,14 +72,27 @@ def render_chunk_native(
     n_chunk = _slice_rows(lod_n, chunk_start, C)
 
     # positions componentwise in the kernel's native layout (C,64,8,128)
-    xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
-    ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
-    zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
-
     t = transform.astype(jnp.float32)
-    cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
-    cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
-    w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
+    if tb is not None:
+        # batch-relative precision path: small i32 offsets from the
+        # per-batch anchor stay exact in f32; the anchor's world-space
+        # contribution arrives pre-folded (f64 on host) in tb
+        anchor = _slice_rows(dev["anchor"], chunk_start, C)  # (C, 3) i32
+        tbc = _slice_rows(tb, chunk_start, C)  # (C, 4) f32
+        bc = lambda a: a[:, None, None, None]
+        xs = (coords[:, :, 0] - bc(anchor[:, 0])).astype(jnp.float32) * scale[0]
+        ys = (coords[:, :, 1] - bc(anchor[:, 1])).astype(jnp.float32) * scale[1]
+        zs = (coords[:, :, 2] - bc(anchor[:, 2])).astype(jnp.float32) * scale[2]
+        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + bc(tbc[:, 0])
+        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + bc(tbc[:, 1])
+        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + bc(tbc[:, 3])
+    else:
+        xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
+        ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
+        zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
+        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
+        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
+        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
 
     ndc_x = cx / w
     ndc_y = cy / w
@@ -143,7 +160,7 @@ def render_frame_native(
     dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
     cull: bool, points: int = POINTS_PER_THREAD, need_depth: bool = True,
-    fmt: str = "tbatch",
+    fmt: str = "tbatch", tb=None,
 ):
     """Whole frame in one dispatch: cull/LOD + chunks + one global resolve.
 
@@ -174,7 +191,7 @@ def render_frame_native(
     for c in range(nchunks):
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, mode, use_pallas, points, fmt,
+            width, height, mode, use_pallas, points, fmt, tb,
         )
         pids.append(pid_c)
         deps.append(dep_c)
@@ -194,11 +211,8 @@ def render_frame_native(
             counts > 0, color, jnp.uint32(0x00443322)
         ).reshape(height, width)
         return None, counts, img
-    fb_d, fb_p = sorted_resolve_u64_min(
-        jnp.concatenate(pids) if nchunks > 1 else pids[0],
-        jnp.concatenate(deps) if nchunks > 1 else deps[0],
-        jnp.concatenate(pays) if nchunks > 1 else pays[0],
-        size, need_depth, use_pallas,
+    fb_d, fb_p = sorted_resolve_u64_min_parts(
+        list(zip(pids, deps, pays)), size, need_depth, use_pallas,
     )
     if mode == "colorize_chunks":
         img = jnp.where(
@@ -268,11 +282,19 @@ class HuffmanTpu(HuffmanMemIter):
         points = max(16, -(-max_lod // 16) * 16)
         need_depth = bool(getattr(renderer, "capture_depth", False))
         fmt = "fixed" if getattr(las, "version", 1) == 2 else "tbatch"
+        # per-batch folded translations: the reference's f64 close-up
+        # precision (render.cu:459-461), O(batches) host f64 per frame
+        from ..camera import batch_translations
+
+        tb = batch_translations(
+            (cam.proj() @ cam.view()), las.anchor_i[: las.dev["anchor"].shape[0]],
+            las.scale, las.offset, las.las_min,
+        )
         fb_d, fb_p, img = render_frame_native(
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
-            points, need_depth, fmt,
+            points, need_depth, fmt, jnp.asarray(tb),
         )
         renderer.last_fb = (fb_d, fb_p)
         if Debug.show_bounding_box:

@@ -26,7 +26,7 @@ from .huffman_tpu import CHUNK, HuffmanTpu
 
 
 def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
-                    width, height, use_pallas, fmt="tbatch"):
+                    width, height, use_pallas, fmt="tbatch", tb=None):
     if fmt == "fixed":
         decode = decode_fixed_batches if use_pallas else decode_fixed_xla
         coords = decode(
@@ -48,13 +48,24 @@ def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
     colors = _slice_rows(dev["colors"], chunk_start, CHUNK)
     n_chunk = _slice_rows(lod_n, chunk_start, CHUNK)
 
-    xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
-    ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
-    zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
     t = transform.astype(jnp.float32)
-    cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
-    cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
-    w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
+    if tb is not None:
+        anchor = _slice_rows(dev["anchor"], chunk_start, CHUNK)
+        tbc = _slice_rows(tb, chunk_start, CHUNK)
+        bc = lambda a: a[:, None, None, None]
+        xs = (coords[:, :, 0] - bc(anchor[:, 0])).astype(jnp.float32) * scale[0]
+        ys = (coords[:, :, 1] - bc(anchor[:, 1])).astype(jnp.float32) * scale[1]
+        zs = (coords[:, :, 2] - bc(anchor[:, 2])).astype(jnp.float32) * scale[2]
+        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + bc(tbc[:, 0])
+        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + bc(tbc[:, 1])
+        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + bc(tbc[:, 3])
+    else:
+        xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
+        ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
+        zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
+        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
+        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
+        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
     ndc_x, ndc_y = cx / w, cy / w
     shp = xs.shape
     pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
@@ -78,7 +89,8 @@ def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
 )
 def hqs_frame_native(dev, frame_params, scale, offset_rel,
                      width: int, height: int, nchunks: int,
-                     use_pallas: bool, cull: bool, fmt: str = "tbatch"):
+                     use_pallas: bool, cull: bool, fmt: str = "tbatch",
+                     tb=None):
     from ..camera import frame_setup_device
 
     view = frame_params[0:16].reshape(4, 4)
@@ -97,7 +109,7 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     for c in range(nchunks):
         pid, w, _rgba, _ok = _project_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, use_pallas, fmt,
+            width, height, use_pallas, fmt, tb,
         )
         depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
         prepass.append((pid, depth))
@@ -125,7 +137,7 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
         for c in range(nchunks):
             pid, w, rgba, _ok = _project_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt,
+                width, height, use_pallas, fmt, tb,
             )
             parts.append((pid, jax.lax.bitcast_convert_type(w, jnp.uint32), rgba))
         cat = (lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0])
@@ -146,7 +158,7 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
         for c in range(nchunks):
             pid, w, rgba, ok = _project_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt,
+                width, height, use_pallas, fmt, tb,
             )
             old = jax.lax.bitcast_convert_type(
                 fb_depth[jnp.clip(pid, 0, size - 1)], jnp.float32
@@ -190,11 +202,18 @@ class HuffmanTpuHqs(HuffmanTpu):
         fp[22] = Debug.lod
         fp[23] = float(B)
         fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+        from ..camera import batch_translations
+
+        tb = jnp.asarray(batch_translations(
+            (cam.proj() @ cam.view()),
+            las.anchor_i[: las.dev["anchor"].shape[0]],
+            las.scale, las.offset, las.las_min,
+        ))
         fb_depth, acc_n, img = hqs_frame_native(
             las.dev, jnp.asarray(fp), scale, offset_rel, W, H,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
-            "fixed" if getattr(las, "version", 1) == 2 else "tbatch",
+            "fixed" if getattr(las, "version", 1) == 2 else "tbatch", tb,
         )
         renderer.last_fb = (fb_depth, acc_n)
         return img

@@ -302,43 +302,91 @@ def dense_from_sorted_nk1(spid, sdep, spay, size: int,
     spid must be ascending with OOB entries (pid >= size) at the end;
     (depth, payload) may be in ANY order within a pixel run — the kernel
     computes the exact u64 (depth<<32|payload) min per pixel.  Unlike v1
-    this only needs a num_keys=1 sort (3.5-6.7x cheaper on TPU).  The
-    window list is flattened across tiles (SMEM tables wrow/wtile with
-    per-program cumwin bounds) so the DMA ring stays RING-deep even when
-    most tiles have a single window.  Both fb planes always materialize
-    (the u64 min needs depth regardless); need_depth only controls
-    whether fb_d is returned.
+    this only needs a num_keys=1 sort (3.5-6.7x cheaper on TPU).
     """
-    n = spid.shape[0]
-    assert n % TILE == 0, n
+    return dense_from_sorted_nk1_multi(
+        [(spid, sdep, spay)], size, need_depth, interpret
+    )
+
+
+@partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
+def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
+                                interpret: bool = False):
+    """Multi-stream variant: `parts` is a list of independently
+    pid-sorted (spid, sdep, spay) triples (one per render chunk).
+
+    Sorting each ~4M chunk separately is much cheaper than one global
+    sort (XLA sort cost grows superlinearly: 1.3 ms at 4.2M vs 18.7 ms
+    at 16.7M on Morton-coherent frames, experiments/r2_merge_real.py),
+    and each Morton chunk is spatially compact so it only adds windows
+    to the tiles it covers.  The kernel min-combines windows from all
+    streams per tile — exactness needs no cross-stream order.
+
+    The window list is flattened across tiles and streams (SMEM tables
+    wrow/wtile with per-program cumwin bounds) so the DMA ring stays
+    RING-deep even when most tiles have a single window.  Window start
+    rows are pre-clamped per stream so a window never reads across a
+    stream boundary (entries there wouldn't be sorted relative to it).
+    Both fb planes always materialize (the u64 min needs depth
+    regardless); need_depth only controls whether fb_d is returned.
+    """
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-
     bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
-    starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
-    s0, s1 = starts[:-1], starts[1:]
-    first_row = s0 // LANES
-    span = s1 - first_row * LANES
-    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
 
-    # flat window tables: window g -> (tile, start row).  Static bound:
-    # every tile adds <= 1 partial window on top of n/TILE full ones.
-    wmax = n // TILE + ntiles_pad
+    per_stream = []
+    rowoff = 0
+    wmax = ntiles_pad * len(parts)
+    for spid, _sd, _sp in parts:
+        n = spid.shape[0]
+        assert n % TILE == 0, n
+        starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
+        s0, s1 = starts[:-1], starts[1:]
+        first_row = s0 // LANES
+        span = s1 - first_row * LANES
+        nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
+        per_stream.append((first_row + rowoff, nwin, rowoff + n // LANES))
+        rowoff += n // LANES
+        wmax += n // TILE
+    nrows = rowoff
+
+    # interleave the streams' windows per tile: for tile t the flat list
+    # holds stream 0's windows, then stream 1's, ...
+    nwin_tot = sum(nw for _fr, nw, _e in per_stream)
     cumwin = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin, dtype=jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
     )
     gidx = jnp.arange(wmax, dtype=jnp.int32)
-    wtile = (
-        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1
+    wtile = jnp.clip(
+        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1,
+        0, ntiles_pad - 1,
     )
-    wtile = jnp.clip(wtile, 0, ntiles_pad - 1)
-    wrow = jnp.take(first_row, wtile) + (gidx - jnp.take(cumwin, wtile)) * SUBS
+    wloc = gidx - jnp.take(cumwin, wtile)  # window index within the tile
+    wrow = jnp.zeros(wmax, jnp.int32)
+    base = jnp.zeros(ntiles_pad, jnp.int32)
+    for fr, nw, stream_end in per_stream:
+        mine = (wloc >= jnp.take(base, wtile)) & (
+            wloc < jnp.take(base + nw, wtile)
+        )
+        local = wloc - jnp.take(base, wtile)
+        row = jnp.take(fr, wtile) + local * SUBS
+        # pre-clamp: never read past this stream's end
+        row = jnp.minimum(row, stream_end - SUBS)
+        wrow = jnp.where(mine, row, wrow)
+        base = base + nw
 
+    cat = lambda arrs: (
+        jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+    )
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
-    ).reshape(n // LANES, LANES)
-    kern = partial(_merge_nk1_kernel, nrows=n // LANES)
+    ).reshape(-1, LANES)
+    spid_all = as_i32(cat([p for p, _d, _y in parts]))
+    sdep_all = as_i32(cat([d for _p, d, _y in parts]))
+    spay_all = as_i32(cat([y for _p, _d, y in parts]))
+
+    kern = partial(_merge_nk1_kernel, nrows=nrows)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
@@ -351,7 +399,7 @@ def dense_from_sorted_nk1(spid, sdep, spay, size: int,
         out_shape=[outshape] * 2,
         scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
         interpret=interpret,
-    )(cumwin, wrow, wtile, as_i32(spid), as_i32(sdep), as_i32(spay))
+    )(cumwin, wrow, wtile, spid_all, sdep_all, spay_all)
     outd, outp = outs
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(

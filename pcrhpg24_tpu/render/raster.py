@@ -102,6 +102,36 @@ def sorted_scatter_u64_min(pid, depth, payload, size: int, fb_d, fb_p):
     return jnp.where(better, cd, fb_d), jnp.where(better, cp, fb_p)
 
 
+def sorted_resolve_u64_min_parts(parts, size: int, need_depth: bool = True,
+                                 use_pallas: bool = False):
+    """Whole-frame exact u64-min resolve from PER-CHUNK streams.
+
+    parts: list of (pid, depth, payload) triples.  On the Pallas path
+    each chunk is nk1-sorted independently (XLA sort cost grows
+    superlinearly — 1.3 ms at 4.2M vs 18.7 ms at 16.7M — and Morton
+    chunks are spatially compact, so per-chunk sorting is strictly
+    cheaper) and the merge kernel min-combines all streams per tile.
+    """
+    if use_pallas and all(p.shape[0] % 1024 == 0 for p, _d, _y in parts):
+        from .pallas_merge import dense_from_sorted_nk1_multi
+
+        sorted_parts = [
+            tuple(jax.lax.sort(
+                [pid.astype(jnp.uint32), depth, payload],
+                num_keys=1, is_stable=False,
+            ))
+            for pid, depth, payload in parts
+        ]
+        return dense_from_sorted_nk1_multi(sorted_parts, size, need_depth)
+    cat = lambda xs: jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+    return sorted_resolve_u64_min(
+        cat([p for p, _d, _y in parts]),
+        cat([d for _p, d, _y in parts]),
+        cat([y for _p, _d, y in parts]),
+        size, need_depth, use_pallas,
+    )
+
+
 def sorted_resolve_u64_min(pid, depth, payload, size: int,
                            need_depth: bool = True,
                            use_pallas: bool = False):

@@ -83,3 +83,32 @@ def test_cpp_speedup():
     dt = (time.perf_counter() - t0) / 3
     # one 65k batch should encode in well under 100 ms natively
     assert dt < 0.2, f"C++ encode too slow: {dt*1e3:.1f} ms"
+
+
+def test_cpp_fixed_encoder_byte_identical():
+    """C++ encode_fixed_batch must equal the NumPy spec exactly."""
+    import numpy as np
+    import pcrhpg24_tpu.native as ncore
+    import pcrhpg24_tpu.codec.fixed as F
+
+    if not ncore.available():
+        import pytest
+
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(7)
+    base = np.cumsum(rng.integers(-25, 26, (65536, 3)), axis=0)
+    base[::5000] += rng.integers(-(2**28), 2**28, (14, 3))
+    x, y, z = (base[:, i].astype(np.int32) for i in range(3))
+    fb_c = F.encode_fixed_batch(x, y, z)
+    avail = ncore.available
+    ncore.available = lambda: False
+    try:
+        fb_np = F.encode_fixed_batch(x, y, z)
+    finally:
+        ncore.available = avail
+    np.testing.assert_array_equal(fb_c.widths, fb_np.widths)
+    np.testing.assert_array_equal(fb_c.round_ptrs, fb_np.round_ptrs)
+    np.testing.assert_array_equal(fb_c.streams, fb_np.streams)
+    np.testing.assert_array_equal(
+        F.decode_fixed_batch(fb_c), np.stack([x, y, z], -1)
+    )

@@ -144,3 +144,27 @@ def test_hqs_sums_from_sorted_matches_scatter_add():
     )
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(got[k]), accs[k])
+
+
+def test_merge_nk1_multi_stream_matches_global():
+    """Per-chunk sorted streams must resolve exactly like one global
+    sort (the frame sorts each render chunk independently)."""
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_nk1_multi
+
+    parts = []
+    allp = []
+    for seed in (3, 4, 5):
+        pid, dep, pay = _mk(8 * 1024, seed=seed, oob_frac=0.3)
+        allp.append((pid, dep, pay))
+        parts.append(tuple(jax.lax.sort([pid, dep, pay], num_keys=1,
+                                        is_stable=False)))
+    ref_d, ref_p = sorted_resolve_u64_min(
+        jnp.concatenate([p for p, _, _ in allp]),
+        jnp.concatenate([d for _, d, _ in allp]),
+        jnp.concatenate([y for _, _, y in allp]),
+        SIZE, True,
+    )
+    got_d, got_p = dense_from_sorted_nk1_multi(parts, SIZE, True,
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
