@@ -204,6 +204,30 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         },
     }
+
+    # scale-run ledger: non-default sizes (e.g. BENCH_BATCHES=1536 ==
+    # 100M points) record their result into docs/scale_runs.json, and
+    # every run attaches the ledger so the headline JSON carries the
+    # large-scene numbers too
+    ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "scale_runs.json")
+    try:
+        runs = {}
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                runs = json.load(f)
+        if BENCH_BATCHES != 64 and BENCH_METHOD == "native":
+            runs[str(BENCH_BATCHES)] = {
+                "points": pts_per_frame,
+                "gpts_per_s": result["value"],
+                "device_frame_ms": result["detail"]["device_frame_ms"],
+            }
+            with open(ledger, "w") as f:
+                json.dump(runs, f, indent=1, sort_keys=True)
+        if runs:
+            result["detail"]["scale_runs"] = runs
+    except Exception:
+        pass
     print(json.dumps(result))
     return 0
 

@@ -61,6 +61,16 @@ def build_methods(renderer: Renderer, scene_path: str):
             Runtime.add_method(HuffmanTpu(renderer, NativeLasData.create(sidecar)))
         except Exception as e:  # sidecar is an optimization, not a requirement
             print(f"note: no tpc sidecar ({e})")
+    elif (scene_path.endswith(".laz") or "," in scene_path
+          or "*" in scene_path):
+        # multi-file / compressed ingestion (LasLoaderSparse equivalent:
+        # modules/compute/LasLoaderSparse.cpp) — renders through the
+        # basic method on the concatenated scene
+        from .engine.las_sparse import LasSparseData
+        from .render.methods.basic import BasicMethod
+
+        data = LasSparseData.create(scene_path)
+        Runtime.add_method(BasicMethod(renderer, data))
     elif scene_path.endswith(".las"):
         from .engine.las_resources import (
             ComputeLasData,

@@ -25,6 +25,7 @@ class LasHeader:
     offset: np.ndarray
     cmin: np.ndarray
     cmax: np.ndarray
+    compressed: bool = False  # LAZ (laszip) stream
 
 
 @dataclass
@@ -62,6 +63,7 @@ def read_header(path: str) -> LasHeader:
         offset,
         np.array([min_x, min_y, min_z]),
         np.array([max_x, max_y, max_z]),
+        compressed=bool(hdr[104] & 0x80),
     )
 
 
@@ -72,6 +74,10 @@ def read_points(path: str, first: int = 0, count: int | None = None) -> LasPoint
     (the reference's per-channel heuristic, preprocess.cpp:150-152).
     """
     h = read_header(path)
+    if h.compressed:
+        from .laz import read_laz_points
+
+        return read_laz_points(path, first, count)
     n = h.num_points - first if count is None else min(count, h.num_points - first)
     rl = h.record_length
     with open(path, "rb") as f:

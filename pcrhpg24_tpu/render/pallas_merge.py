@@ -206,9 +206,11 @@ def _suffix_min_u64(lpid, d, p):
     return d, p
 
 
-def _merge_nk1_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
+def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                      tile_bits: int):
     (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
      wpid, wdep, wpay, sems) = rest
+    tmask = (1 << tile_bits) - 1
     prog = pl.program_id(0)
     # depth/payload compares must be UNSIGNED: bias by XOR 0x80000000 so
     # signed i32 compares order like u32.  The best-so-far identity is
@@ -225,7 +227,8 @@ def _merge_nk1_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
     hi = cumwin_ref[t0 + TPS]
 
     def dma(g, slot):
-        r0 = jnp.minimum(wrow_ref[g], nrows - SUBS)
+        # window start rows are pre-clamped per stream at table build
+        r0 = jnp.minimum(wrowtile_ref[g] >> tile_bits, nrows - SUBS)
         return [
             pltpu.make_async_copy(
                 spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
@@ -253,7 +256,7 @@ def _merge_nk1_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
         slot = jax.lax.rem(g - lo, RING)  # prologue filled slots 0..R-1
         for c in dma(g, slot):
             c.wait()
-        lt = wtile_ref[g] - t0  # 0..TPS-1 local tile of this window
+        lt = (wrowtile_ref[g] & tmask) - t0  # 0..TPS-1 local tile
         lpid = wpid[slot] - (t0 + lt) * TILE
         dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
 
@@ -352,7 +355,14 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     nrows = rowoff
 
     # interleave the streams' windows per tile: for tile t the flat list
-    # holds stream 0's windows, then stream 1's, ...
+    # holds stream 0's windows, then stream 1's, ...  (tile, start row)
+    # pack into ONE i32 per window: SMEM is 1 MB, and two i32 tables
+    # overflow it at ~100M points (row in the high bits, tile low).
+    tile_bits = max(int(ntiles_pad - 1).bit_length(), 1)
+    assert rowoff < (1 << (31 - tile_bits)), (
+        "scene too large for packed window tables at this framebuffer "
+        f"size ({rowoff} rows, {ntiles_pad} tiles)"
+    )
     nwin_tot = sum(nw for _fr, nw, _e in per_stream)
     cumwin = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
@@ -375,6 +385,7 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
         row = jnp.minimum(row, stream_end - SUBS)
         wrow = jnp.where(mine, row, wrow)
         base = base + nw
+    wrowtile = (wrow << tile_bits) | wtile
 
     cat = lambda arrs: (
         jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
@@ -386,20 +397,20 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     sdep_all = as_i32(cat([d for _p, d, _y in parts]))
     spay_all = as_i32(cat([y for _p, _d, y in parts]))
 
-    kern = partial(_merge_nk1_kernel, nrows=nrows)
+    kern = partial(_merge_nk1_kernel, nrows=nrows, tile_bits=tile_bits)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
     outs = pl.pallas_call(
         kern,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[outspec] * 2,
         out_shape=[outshape] * 2,
         scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
         interpret=interpret,
-    )(cumwin, wrow, wtile, spid_all, sdep_all, spay_all)
+    )(cumwin, wrowtile, spid_all, sdep_all, spay_all)
     outd, outp = outs
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
