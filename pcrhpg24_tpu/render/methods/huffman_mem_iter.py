@@ -116,8 +116,9 @@ def render_chunk(
     cy = t[1, 0] * x + t[1, 1] * y + t[1, 2] * z + add(1)
     w = t[3, 0] * x + t[3, 1] * y + t[3, 2] * z + add(3)
 
-    ndc_x = (cx / w).reshape(-1)
-    ndc_y = (cy / w).reshape(-1)
+    inv = 1.0 / w  # reciprocal-multiply, matching the Pallas paths
+    ndc_x = (cx * inv).reshape(-1)
+    ndc_y = (cy * inv).reshape(-1)
     w = w.reshape(-1)
     pay = payload.reshape(-1)
     m = mask.reshape(-1)

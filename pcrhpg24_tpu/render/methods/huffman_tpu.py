@@ -94,8 +94,9 @@ def render_chunk_native(
         cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
         w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
 
-    ndc_x = cx / w
-    ndc_y = cy / w
+    inv = 1.0 / w  # reciprocal-multiply, matching the fused kernel
+    ndc_x = cx * inv
+    ndc_y = cy * inv
     shp = xs.shape  # (C, 64, 8, 128)
     pt_idx = jnp.arange(points, dtype=jnp.int32)
     mask = jnp.broadcast_to(

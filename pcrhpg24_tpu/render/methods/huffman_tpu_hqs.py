@@ -66,7 +66,8 @@ def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
         cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
         cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
         w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
-    ndc_x, ndc_y = cx / w, cy / w
+    inv = 1.0 / w  # reciprocal-multiply, matching the Pallas paths
+    ndc_x, ndc_y = cx * inv, cy * inv
     shp = xs.shape
     pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
     mask = jnp.broadcast_to(

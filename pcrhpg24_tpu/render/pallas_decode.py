@@ -56,14 +56,12 @@ def _decode_kernel_impl(
     lj_ref,  # SMEM (1, 1, 32) i32: lj_limit[1..12] at [0:12], dD deltas at [16:28], dD[1] at [28]
     stream_ref,  # VMEM (1, 8, MAXW) u32 group streams
     ptr_ref,  # SMEM (1, 384, 8) i32 per-round window pointers
-    dD_ref,  # VMEM (1, 1, 128) i32: base_idx[L]-first_code[L] at [L], L=1..12
     lut_ref,  # VMEM (1, 1, 128) i32: sym_idx -> bucket
     start_ref,  # VMEM (1, 3, 8, 128) i32 chain start values
     out_ref,  # VMEM (1, points, 3, 8, 128) i32 absolute coords
     points=POINTS_PER_THREAD,
 ):
     lt = _mk_lt()
-    del dD_ref  # dD now folded into the lj scalar row
     lut_row = jnp.broadcast_to(lut_ref[0, 0].reshape(1, LANES), (G, LANES))
 
     cur0 = stream_ref[0, :, 0:LANES]
@@ -171,7 +169,9 @@ def _decode_kernel_impl(
 def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False,
                           points: int = POINTS_PER_THREAD):
     """lj (B,1,16) i32, streams (B,8,MAXW) u32, ptrs (B,384,8) i32,
-    dD (B,1,128) i32, lut (B,1,128) i32, starts (B,3,8,128) i32
+    dD (B,1,128) i32 (UNUSED here — folded into lj; kept for signature
+    parity with decode_native_xla, which gathers from it),
+    lut (B,1,128) i32, starts (B,3,8,128) i32
     -> (B, points, 3, 8, 128) i32 absolute coords.
 
     `points` < 64 decodes only the first `points` of every chain — the
@@ -193,7 +193,6 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False,
             pl.BlockSpec((1, G, maxw), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 384, G), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 3, G, LANES), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -201,7 +200,7 @@ def decode_native_batches(lj, streams, ptrs, dD, lut, starts, interpret=False,
         ),
         out_shape=jax.ShapeDtypeStruct((B, points, 3, G, LANES), jnp.int32),
         interpret=interpret,
-    )(lj, streams, ptrs, dD, lut, starts)
+    )(lj, streams, ptrs, lut, starts)
 
 
 # ---------------------------------------------------------------------------
