@@ -60,7 +60,12 @@ def build_methods(renderer: Renderer, scene_path: str):
 
             Runtime.add_method(HuffmanTpu(renderer, NativeLasData.create(sidecar)))
         except Exception as e:  # sidecar is an optimization, not a requirement
-            print(f"note: no tpc sidecar ({e})")
+            import sys as _sys
+            import traceback
+
+            print(f"WARNING: tpc sidecar transcode failed ({e}); "
+                  "falling back to the XLA .huffman path", file=_sys.stderr)
+            traceback.print_exc(file=_sys.stderr)
     elif (scene_path.endswith(".laz") or "," in scene_path
           or "*" in scene_path):
         # multi-file / compressed ingestion (LasLoaderSparse equivalent:
@@ -130,6 +135,8 @@ def main(argv=None):
     ap.add_argument("--show-bounding-box", action="store_true")
     ap.add_argument("--list-methods", action="store_true")
     ap.add_argument("--stats", action="store_true", help="print timing report")
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="interactive localhost viewer instead of offscreen frames")
     args = ap.parse_args(argv)
 
     Debug.lod = args.lod
@@ -153,6 +160,18 @@ def main(argv=None):
     if args.method:
         Runtime.set_selected(args.method)
     method = Runtime.selected
+
+    if args.serve is not None:
+        from .engine.viewer import ViewerServer
+
+        method.update(renderer)
+        if hasattr(method, "las"):
+            method.las.wait_loaded(renderer)
+        elif hasattr(method, "potree"):
+            method.potree.wait_loaded(renderer)
+        ViewerServer(renderer, Runtime.methods, args.serve).serve_forever()
+        return 0
+
     print(f"rendering {args.frames} frame(s) with {method.name}")
 
     if args.depth:

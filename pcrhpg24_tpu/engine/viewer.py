@@ -1,0 +1,146 @@
+"""Localhost interactive viewer over the offscreen render loop.
+
+The reference is an interactive GLFW/ImGui application
+(src/Renderer.cpp:239-766).  A TPU deployment has no display; the
+interactive capability is provided as a tiny HTTP viewer instead: a
+single-page canvas app that drag-orbits the camera (the OrbitControls
+yaw/pitch/radius model, include/OrbitControls.h) and fetches freshly
+rendered PNG frames from the offscreen loop.  Method switching and the
+Debug toggles (colorize modes, LOD slider) are exposed as query
+parameters — the ImGui panel's role.
+
+Run:  python -m pcrhpg24_tpu.app --scene scene.tpc --serve 8000
+then open http://localhost:8000/
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>pcrhpg24-tpu viewer</title><style>
+ body{margin:0;background:#111;color:#ccc;font:13px monospace}
+ #hud{position:fixed;top:8px;left:8px;background:#000a;padding:6px 10px}
+ img{display:block;width:100vw;height:100vh;object-fit:contain;
+     image-rendering:pixelated}
+</style></head><body>
+<div id="hud">drag: orbit &middot; wheel: zoom &middot; keys: m method,
+ c chunks, o overdraw &middot; <span id="st"></span></div>
+<img id="v">
+<script>
+let yaw=0.5,pitch=-0.7,radius=null,mi=0,mode="";
+let dragging=false,lx=0,ly=0,busy=false,dirty=true;
+const img=document.getElementById("v"),st=document.getElementById("st");
+fetch("/info").then(r=>r.json()).then(j=>{radius=j.radius;loop();});
+function url(){return `/frame?yaw=${yaw}&pitch=${pitch}&radius=${radius}`+
+  `&method=${mi}&mode=${mode}`;}
+async function loop(){
+  if(dirty&&!busy){busy=true;dirty=false;const t0=performance.now();
+    const r=await fetch(url());const b=await r.blob();
+    img.src=URL.createObjectURL(b);
+    st.textContent=r.headers.get("x-method")+" "+
+      (performance.now()-t0).toFixed(0)+" ms";busy=false;}
+  requestAnimationFrame(loop);}
+img.onmousedown=e=>{dragging=true;lx=e.clientX;ly=e.clientY;};
+window.onmouseup=()=>dragging=false;
+window.onmousemove=e=>{if(!dragging)return;
+  yaw-=(e.clientX-lx)*0.005;pitch-=(e.clientY-ly)*0.005;
+  pitch=Math.max(-1.55,Math.min(1.55,pitch));
+  lx=e.clientX;ly=e.clientY;dirty=true;};
+window.onwheel=e=>{radius*=e.deltaY>0?1.15:0.87;dirty=true;};
+window.onkeydown=e=>{
+  if(e.key=="m"){mi++;dirty=true;}
+  if(e.key=="c"){mode=mode=="chunks"?"":"chunks";dirty=true;}
+  if(e.key=="o"){mode=mode=="overdraw"?"":"overdraw";dirty=true;}};
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serves the page + renders frames on demand (render thread = the
+    HTTP handler thread; jax dispatch is internally threadsafe here
+    because a lock serializes frames)."""
+
+    def __init__(self, renderer, methods, port: int = 8000):
+        self.renderer = renderer
+        self.methods = methods
+        self.port = port
+        self._lock = threading.Lock()
+        self._httpd: HTTPServer | None = None
+
+    def render_png(self, params: dict) -> tuple[bytes, str]:
+        from ..engine.debug import Debug
+        from ..render.raster import image_to_rgb8
+        from ..utils.png import write_png_bytes
+
+        r = self.renderer
+        c = r.controls
+        c.yaw = float(params.get("yaw", [c.yaw])[0])
+        c.pitch = float(params.get("pitch", [c.pitch])[0])
+        c.radius = float(params.get("radius", [c.radius])[0])
+        mi = int(params.get("method", ["0"])[0]) % len(self.methods)
+        mode = params.get("mode", [""])[0]
+        method = self.methods[mi]
+        with self._lock:
+            old = (Debug.colorize_chunks, Debug.colorize_overdraw)
+            Debug.colorize_chunks = mode == "chunks"
+            Debug.colorize_overdraw = mode == "overdraw"
+            try:
+                img = r.loop(method.update, method.render, frames=1)
+                rgb = np.asarray(image_to_rgb8(img))
+            finally:
+                Debug.colorize_chunks, Debug.colorize_overdraw = old
+        return write_png_bytes(rgb), method.name
+
+    def serve_forever(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                try:
+                    if u.path == "/":
+                        body = _PAGE.encode()
+                        ctype = "text/html"
+                        headers = {}
+                    elif u.path == "/info":
+                        body = json.dumps({
+                            "radius": viewer.renderer.controls.radius,
+                            "methods": [m.name for m in viewer.methods],
+                        }).encode()
+                        ctype = "application/json"
+                        headers = {}
+                    elif u.path == "/frame":
+                        body, name = viewer.render_png(parse_qs(u.query))
+                        ctype = "image/png"
+                        headers = {"x-method": name}
+                    else:
+                        self.send_error(404)
+                        return
+                    self.send_response(200)
+                    self.send_header("content-type", ctype)
+                    self.send_header("content-length", str(len(body)))
+                    for k, v in headers.items():
+                        self.send_header(k, v)
+                    self.end_headers()
+                    self.wfile.write(body)
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # surface render errors to the client
+                    self.send_error(500, str(e))
+
+        self._httpd = HTTPServer(("127.0.0.1", self.port), Handler)
+        print(f"viewer: http://127.0.0.1:{self.port}/")
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
