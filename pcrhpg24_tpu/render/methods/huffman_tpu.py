@@ -3,8 +3,11 @@
 Same per-frame behavior as `huffman_mem_iter` (frustum cull, LOD,
 decode every visible batch, exact depth-test raster — reference:
 modules/huffman_mem_iter_cuda/), but geometry decodes through the
-Pallas tbatch kernel (render/pallas_decode.py) instead of the
-gather-bound XLA path.  This is the performance method for TPU.
+Pallas kernels — fbatch (`.tpc` v2, render/pallas_decode_fixed.py,
+the flagship) or tbatch (v1, render/pallas_decode.py) — and resolves
+through within-chain run collapse + per-chunk single-key sorts + the
+scatter-free suffix-min merge kernel.  This is the performance method
+for TPU.
 """
 
 from __future__ import annotations

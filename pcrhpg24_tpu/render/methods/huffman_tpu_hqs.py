@@ -103,9 +103,10 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     transform = frame_params[24:40].reshape(4, 4)
     size = width * height
 
-    # depth prepass: per-pixel min depth.  On TPU: one 2-key sort + the
-    # scatter-free merge kernel (payload = the depth bits themselves, so
-    # the run head IS the min depth); scatter-min on CPU.
+    # depth prepass: per-pixel min depth.  On TPU: per-chunk 1-key sorts
+    # + the scatter-free multi-stream merge kernel (payload = the depth
+    # bits themselves, so the run min IS the min depth); scatter-min on
+    # CPU.
     prepass = []
     for c in range(nchunks):
         pid, w, _rgba, _ok = _project_native(
@@ -114,25 +115,33 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
         )
         depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
         prepass.append((pid, depth))
-    pid_all = jnp.concatenate([p for p, _ in prepass]) if nchunks > 1 else prepass[0][0]
-    dep_all = jnp.concatenate([d for _, d in prepass]) if nchunks > 1 else prepass[0][1]
-    if use_pallas and pid_all.shape[0] % 1024 == 0:
-        from ..pallas_merge import dense_from_sorted_nk1
+    pallas_ok = use_pallas and all(
+        p.shape[0] % 1024 == 0 for p, _ in prepass
+    )
+    if pallas_ok:
+        from ..pallas_merge import dense_from_sorted_nk1_multi
 
-        spid, sdep = jax.lax.sort(
-            [pid_all.astype(jnp.uint32), dep_all], num_keys=1, is_stable=False
+        sorted_parts = []
+        for p, d in prepass:
+            sp, sd = jax.lax.sort([p.astype(jnp.uint32), d],
+                                  num_keys=1, is_stable=False)
+            sorted_parts.append((sp, sd, sd))  # payload = the depth bits
+        _none, fb_depth = dense_from_sorted_nk1_multi(
+            sorted_parts, size, False
         )
-        _none, fb_depth = dense_from_sorted_nk1(spid, sdep, sdep, size, False)
     else:
+        cat = lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0]
+        pid_all = cat([p for p, _ in prepass])
+        dep_all = cat([d for _, d in prepass])
         fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
         fb_depth = fb_depth.at[pid_all].min(dep_all, mode="drop")
 
-    if use_pallas and pid_all.shape[0] % 1024 == 0:
-        # scatter-free accumulation: nk1 sort + segmented suffix-sum
-        # merge kernel with the in-kernel tolerance test (the reference's
-        # two i64 atomicAdds, huffman_hqs/render.cu:311-313; XLA
-        # scatter-add would cost ~4.8 ns/slot)
-        from ..pallas_hqs import hqs_sums_from_sorted
+    if pallas_ok:
+        # scatter-free accumulation: per-chunk nk1 sorts + the segmented
+        # suffix-sum merge kernel with the in-kernel tolerance test (the
+        # reference's two i64 atomicAdds, huffman_hqs/render.cu:311-313;
+        # XLA scatter-add would cost ~4.8 ns/slot)
+        from ..pallas_hqs import hqs_sums_from_sorted_multi
 
         parts = []
         for c in range(nchunks):
@@ -140,16 +149,13 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
                 width, height, use_pallas, fmt, tb,
             )
-            parts.append((pid, jax.lax.bitcast_convert_type(w, jnp.uint32), rgba))
-        cat = (lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0])
-        spid, sdep, spay = jax.lax.sort(
-            [cat([p for p, _, _ in parts]).astype(jnp.uint32),
-             cat([d for _, d, _ in parts]),
-             cat([r for _, _, r in parts])],
-            num_keys=1, is_stable=False,
-        )
-        acc_r, acc_g, acc_b, acc_n = hqs_sums_from_sorted(
-            spid, sdep, spay, fb_depth, size
+            parts.append(tuple(jax.lax.sort(
+                [pid.astype(jnp.uint32),
+                 jax.lax.bitcast_convert_type(w, jnp.uint32), rgba],
+                num_keys=1, is_stable=False,
+            )))
+        acc_r, acc_g, acc_b, acc_n = hqs_sums_from_sorted_multi(
+            parts, fb_depth, size
         )
     else:
         acc_r = jnp.zeros((size,), jnp.uint32)

@@ -64,10 +64,14 @@ def _suffix_sum_segmented(lpid, vals):
     return vals
 
 
-def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
+def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                    tile_bits: int):
     (spid_hbm, sdep_hbm, spay_hbm, fbd_ref,
      outr_ref, outg_ref, outb_ref, outn_ref,
      wpid, wdep, wpay, sems) = rest
+    # packed window word: row << (tile_bits+3) | reread_rows << tile_bits
+    # | tile (rows are pre-clamped per stream at table build)
+    tmask = (1 << tile_bits) - 1
     prog = pl.program_id(0)
     zero = jnp.zeros((SUBS, LANES), jnp.int32)
     iota = (
@@ -79,7 +83,7 @@ def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
     hi = cumwin_ref[t0 + TPS]
 
     def dma(g, slot):
-        r0 = jnp.minimum(wrow_ref[g], nrows - SUBS)
+        r0 = jnp.minimum(wrowtile_ref[g] >> (tile_bits + 3), nrows - SUBS)
         return [
             pltpu.make_async_copy(
                 spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
@@ -113,7 +117,7 @@ def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
         slot = jax.lax.rem(g - lo, RING)
         for c in dma(g, slot):
             c.wait()
-        lt = wtile_ref[g] - t0
+        lt = (wrowtile_ref[g] & tmask) - t0
         lpid = wpid[slot] - (t0 + lt) * TILE
         lpid_c = jnp.clip(lpid, 0, TILE - 1)
 
@@ -124,10 +128,10 @@ def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
             )
         old = jax.lax.bitcast_convert_type(fbd_here, jnp.float32)
         w = jax.lax.bitcast_convert_type(wdep[slot], jnp.float32)
-        # the end-of-stream DMA clamp may re-read rows already covered by
-        # this tile's previous window; unlike the min-merge, sums must
-        # drop those re-read leading entries
-        reread = (wrow_ref[g] - jnp.minimum(wrow_ref[g], nrows - SUBS)) * LANES
+        # the end-of-stream clamp re-reads rows already covered by this
+        # tile's previous window; unlike the min-merge, sums must drop
+        # those re-read leading entries (count packed at table build)
+        reread = ((wrowtile_ref[g] >> tile_bits) & 7) * LANES
         keep = (
             (lpid == lpid_c)  # in this tile's pixel range
             & (flat >= reread)
@@ -180,55 +184,104 @@ def _hqs_sum_kernel(cumwin_ref, wrow_ref, wtile_ref, *rest, nrows: int):
 @partial(jax.jit, static_argnames=("size", "interpret"))
 def hqs_sums_from_sorted(spid, sdep, spay, fb_depth, size: int,
                          interpret: bool = False):
-    """nk1 pid-sorted (pid, depthbits, rgba) + dense fb_depth ->
-    (acc_r, acc_g, acc_b, acc_n) u32 planes, reference tolerance blend
-    semantics (huffman_hqs/render.cu:274-316)."""
-    n = spid.shape[0]
-    assert n % TILE == 0, n
+    """Single-stream wrapper over hqs_sums_from_sorted_multi."""
+    return hqs_sums_from_sorted_multi(
+        [(spid, sdep, spay)], fb_depth, size, interpret
+    )
+
+
+@partial(jax.jit, static_argnames=("size", "interpret"))
+def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
+                               interpret: bool = False):
+    """Per-chunk nk1 pid-sorted (pid, depthbits, rgba) streams + dense
+    fb_depth -> (acc_r, acc_g, acc_b, acc_n) u32 planes, reference
+    tolerance blend semantics (huffman_hqs/render.cu:274-316).
+
+    Mirrors pallas_merge.dense_from_sorted_nk1_multi's flattened
+    per-stream window tables (per-chunk sorts are superlinearly cheaper
+    than one global sort); sums add exactly once because each entry
+    appears in exactly one window of its tile per stream and the
+    clamp-induced re-reads carry their drop count in the packed table.
+    """
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-
     bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
-    starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
-    s0, s1 = starts[:-1], starts[1:]
-    first_row = s0 // LANES
-    span = s1 - first_row * LANES
-    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
-    wmax = n // TILE + ntiles_pad
+
+    tile_bits = max(int(ntiles_pad - 1).bit_length(), 1)
+    per_stream = []
+    rowoff = 0
+    wmax = ntiles_pad * len(parts)
+    for spid, _sd, _sp in parts:
+        n = spid.shape[0]
+        assert n % TILE == 0, n
+        starts = jnp.searchsorted(spid, bounds).astype(jnp.int32)
+        s0, s1 = starts[:-1], starts[1:]
+        first_row = s0 // LANES
+        span = s1 - first_row * LANES
+        nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)
+        per_stream.append((first_row + rowoff, nwin, rowoff + n // LANES))
+        rowoff += n // LANES
+        wmax += n // TILE
+    nrows = rowoff
+    assert nrows < (1 << (31 - tile_bits - 3)), (
+        "scene too large for packed HQS window tables at this "
+        f"framebuffer size ({nrows} rows, {ntiles_pad} tiles)"
+    )
+
+    nwin_tot = sum(nw for _fr, nw, _e in per_stream)
     cumwin = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin, dtype=jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
     )
     gidx = jnp.arange(wmax, dtype=jnp.int32)
     wtile = jnp.clip(
         jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1,
         0, ntiles_pad - 1,
     )
-    wrow = jnp.take(first_row, wtile) + (gidx - jnp.take(cumwin, wtile)) * SUBS
+    wloc = gidx - jnp.take(cumwin, wtile)
+    wrow = jnp.zeros(wmax, jnp.int32)
+    wre = jnp.zeros(wmax, jnp.int32)
+    base = jnp.zeros(ntiles_pad, jnp.int32)
+    for fr, nw, stream_end in per_stream:
+        mine = (wloc >= jnp.take(base, wtile)) & (
+            wloc < jnp.take(base + nw, wtile)
+        )
+        local = wloc - jnp.take(base, wtile)
+        row = jnp.take(fr, wtile) + local * SUBS
+        rowc = jnp.minimum(row, stream_end - SUBS)
+        wrow = jnp.where(mine, rowc, wrow)
+        wre = jnp.where(mine, row - rowc, wre)
+        base = base + nw
+    wrowtile = (wrow << (tile_bits + 3)) | (wre << tile_bits) | wtile
 
+    cat = lambda arrs: jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
-    ).reshape(n // LANES, LANES)
+    ).reshape(-1, LANES)
+    spid_all = as_i32(cat([p for p, _d, _y in parts]))
+    sdep_all = as_i32(cat([d for _p, d, _y in parts]))
+    spay_all = as_i32(cat([y for _p, _d, y in parts]))
+
     fbd = jnp.pad(
         jax.lax.bitcast_convert_type(fb_depth, jnp.int32),
         (0, ntiles_pad * TILE - size),
         constant_values=-1,
     ).reshape(ntiles_pad * SUBS, LANES)
-    kern = partial(_hqs_sum_kernel, nrows=n // LANES)
+    kern = partial(_hqs_sum_kernel, nrows=nrows, tile_bits=tile_bits)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
     outs = pl.pallas_call(
         kern,
         grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))],
         out_specs=[outspec] * 4,
         out_shape=[outshape] * 4,
         scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
         interpret=interpret,
-    )(cumwin, wrow, wtile, as_i32(spid), as_i32(sdep), as_i32(spay), fbd)
+    )(cumwin, wrowtile, spid_all, sdep_all, spay_all, fbd)
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE

@@ -168,3 +168,40 @@ def test_merge_nk1_multi_stream_matches_global():
                                                interpret=True)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_hqs_sums_multi_stream_matches_single():
+    """Per-chunk sorted streams must accumulate exactly like one
+    globally sorted stream."""
+    from pcrhpg24_tpu.render.pallas_hqs import (
+        hqs_sums_from_sorted, hqs_sums_from_sorted_multi,
+    )
+
+    rng = np.random.default_rng(13)
+    chunks = []
+    for seed in (1, 2):
+        n = 8 * 1024
+        pid = rng.integers(0, SIZE, n).astype(np.uint32)
+        pid[rng.random(n) < 0.2] = SIZE
+        w = (rng.random(n).astype(np.float32) * 50 + 1)
+        rgba = rng.integers(0, 2**24, n, dtype=np.uint64).astype(np.uint32)
+        chunks.append((pid, w.view(np.uint32), rgba))
+    allp = np.concatenate([c[0] for c in chunks])
+    alld = np.concatenate([c[1] for c in chunks])
+    ally = np.concatenate([c[2] for c in chunks])
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    for p, d in zip(allp, alld):
+        if p < SIZE:
+            fbd[p] = min(fbd[p], d)
+    fbd_j = jnp.asarray(fbd)
+
+    sg = jax.lax.sort([jnp.asarray(allp), jnp.asarray(alld),
+                       jnp.asarray(ally)], num_keys=1, is_stable=False)
+    ref = hqs_sums_from_sorted(*sg, fbd_j, SIZE, interpret=True)
+
+    parts = [tuple(jax.lax.sort(
+        [jnp.asarray(p), jnp.asarray(d), jnp.asarray(y)],
+        num_keys=1, is_stable=False)) for p, d, y in chunks]
+    got = hqs_sums_from_sorted_multi(parts, fbd_j, SIZE, interpret=True)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
