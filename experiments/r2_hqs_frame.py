@@ -56,3 +56,13 @@ for k in (1, 3):
     float(chain(fpd, k=k))
     t0 = time.perf_counter(); float(chain(fpd, k=k)); ts[k] = time.perf_counter() - t0
 print(f"HQS device frame: {(ts[3]-ts[1])/2*1e3:.2f} ms @4.2M", flush=True)
+
+# real-TPU exactness of the HQS accumulation vs the XLA scatter path
+fbd2, accn2, img2 = hqs_frame_native(
+    las.dev, fpd, scale, offset_rel, W, H, nch, True, True, "fixed", tb)
+fbd_ref, accn_ref, img_ref = hqs_frame_native(
+    las.dev, fpd, scale, offset_rel, W, H, nch, False, True, "fixed", tb)
+same_img = (np.asarray(img2) == np.asarray(img_ref)).mean()
+same_n = (np.asarray(accn2) == np.asarray(accn_ref)).mean()
+print(f"TPU HQS vs XLA scatter: img agree {same_img:.6f}, "
+      f"counts agree {same_n:.6f}", flush=True)
