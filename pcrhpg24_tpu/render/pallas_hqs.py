@@ -35,6 +35,7 @@ from .pallas_merge import (
     SUBS,
     TILE,
     TPS,
+    TPS_BITS,
     _flat_gather,
     _flat_shift,
     _rows_of,
@@ -64,14 +65,12 @@ def _suffix_sum_segmented(lpid, vals):
     return vals
 
 
-def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
-                    tile_bits: int):
+def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
     (spid_hbm, sdep_hbm, spay_hbm, fbd_ref,
      outr_ref, outg_ref, outb_ref, outn_ref,
      wpid, wdep, wpay, sems) = rest
-    # packed window word: row << (tile_bits+3) | reread_rows << tile_bits
-    # | tile (rows are pre-clamped per stream at table build)
-    tmask = (1 << tile_bits) - 1
+    # packed window word: row << (TPS_BITS+3) | reread_rows << TPS_BITS
+    # | local tile (rows are pre-clamped per stream at table build)
     prog = pl.program_id(0)
     zero = jnp.zeros((SUBS, LANES), jnp.int32)
     iota = (
@@ -83,7 +82,7 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
     hi = cumwin_ref[t0 + TPS]
 
     def dma(g, slot):
-        r0 = jnp.minimum(wrowtile_ref[g] >> (tile_bits + 3), nrows - SUBS)
+        r0 = jnp.minimum(wrowtile_ref[g] >> (TPS_BITS + 3), nrows - SUBS)
         return [
             pltpu.make_async_copy(
                 spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
@@ -117,7 +116,7 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         slot = jax.lax.rem(g - lo, RING)
         for c in dma(g, slot):
             c.wait()
-        lt = (wrowtile_ref[g] & tmask) - t0
+        lt = wrowtile_ref[g] & (TPS - 1)
         lpid = wpid[slot] - (t0 + lt) * TILE
         lpid_c = jnp.clip(lpid, 0, TILE - 1)
 
@@ -131,7 +130,7 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         # the end-of-stream clamp re-reads rows already covered by this
         # tile's previous window; unlike the min-merge, sums must drop
         # those re-read leading entries (count packed at table build)
-        reread = ((wrowtile_ref[g] >> tile_bits) & 7) * LANES
+        reread = ((wrowtile_ref[g] >> TPS_BITS) & 7) * LANES
         keep = (
             (lpid == lpid_c)  # in this tile's pixel range
             & (flat >= reread)
@@ -208,7 +207,6 @@ def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
     ntiles_pad = nprog * TPS
     bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
 
-    tile_bits = max(int(ntiles_pad - 1).bit_length(), 1)
     per_stream = []
     rowoff = 0
     wmax = ntiles_pad * len(parts)
@@ -224,9 +222,11 @@ def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
         rowoff += n // LANES
         wmax += n // TILE
     nrows = rowoff
-    assert nrows < (1 << (31 - tile_bits - 3)), (
-        "scene too large for packed HQS window tables at this "
-        f"framebuffer size ({nrows} rows, {ntiles_pad} tiles)"
+    # local-tile packing (see pallas_merge): 31 - TPS_BITS - 3 = 26 row
+    # bits -> ~8.6G points, vs ~16.7M with an absolute-tile field
+    assert nrows < (1 << (31 - TPS_BITS - 3)), (
+        "scene too large for packed HQS window tables "
+        f"({nrows} rows, {ntiles_pad} tiles)"
     )
 
     nwin_tot = sum(nw for _fr, nw, _e in per_stream)
@@ -252,7 +252,9 @@ def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
         wrow = jnp.where(mine, rowc, wrow)
         wre = jnp.where(mine, row - rowc, wre)
         base = base + nw
-    wrowtile = (wrow << (tile_bits + 3)) | (wre << tile_bits) | wtile
+    wrowtile = (
+        (wrow << (TPS_BITS + 3)) | (wre << TPS_BITS) | (wtile & (TPS - 1))
+    )
 
     cat = lambda arrs: jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
@@ -267,7 +269,7 @@ def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
         (0, ntiles_pad * TILE - size),
         constant_values=-1,
     ).reshape(ntiles_pad * SUBS, LANES)
-    kern = partial(_hqs_sum_kernel, nrows=nrows, tile_bits=tile_bits)
+    kern = partial(_hqs_sum_kernel, nrows=nrows)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
