@@ -1,5 +1,6 @@
 """Slope-time v2 (per-tile windows) vs v3 (sequential windows) merge on
-the real bench stream, plus TPU exactness of v3 vs the XLA dedup path."""
+the real bench stream, plus TPU exactness of v3 vs the XLA dedup path.
+v3 was removed after this measurement (slower); run at commit d40b55f."""
 import sys, pathlib, time, functools
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from pcrhpg24_tpu.utils.cache import enable_compile_cache

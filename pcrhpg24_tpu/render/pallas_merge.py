@@ -423,233 +423,6 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     return fb_d, fb_p
 
 
-# ---------------------------------------------------------------------------
-# v3: sequential windows — windows exactly tile the sorted streams
-# ---------------------------------------------------------------------------
-#
-# v2 builds windows per (framebuffer tile, stream) with per-tile
-# round-up: a tile holding ~1024 entries gets TWO windows (its span is
-# never aligned), so ~2x the minimal window count flows through the
-# DMA ring, the per-window suffix-min and the row rotations
-# (experiments/r2_merge_tune.py: ~4000 windows for 2041 windows' worth
-# of entries on the bench frame).  v3 instead cuts each stream into its
-# natural consecutive 1024-entry windows (exactly N/1024 of them, no
-# overlap, no end-of-stream clamp) and hands each grid program the
-# contiguous window range overlapping its TPS tiles.  A window may span
-# several tiles; the per-tile binary search runs under pl.when gated by
-# the window's first/last tile (packed in the SMEM word), so total
-# search work is unchanged while every per-window cost (DMA, rotations,
-# segmented scan) drops by the overlap factor.  Windows on a program
-# boundary are processed by both neighbours; each searches only its own
-# tiles, so every (window, tile) pair is still handled exactly once.
-
-
-def _seq_window_tables(parts, size: int):
-    """Shared v3 table build: per-program window ranges + packed words.
-
-    Returns (progstart, wword, nprog, ntiles_pad, nwords) where
-    wword[g] = row << 2*TPS_BITS | first_local_tile << TPS_BITS |
-    last_local_tile, with row the window's start row in the
-    concatenated (rows, 128) stream layout.
-    """
-    ntiles = -(-size // TILE)
-    nprog = -(-ntiles // TPS)
-    ntiles_pad = nprog * TPS
-    S = len(parts)
-
-    firsts, lasts, Ks = [], [], []
-    for spid, _d, _p in parts:
-        n = spid.shape[0]
-        assert n % TILE == 0, n
-        idx = jnp.arange(n // TILE, dtype=jnp.int32) * TILE
-        firsts.append(jnp.take(spid, idx).astype(jnp.int32))
-        lasts.append(jnp.take(spid, idx + (TILE - 1)).astype(jnp.int32))
-        Ks.append(n // TILE)
-    base = [0]
-    for K in Ks:
-        base.append(base[-1] + K)
-    W = base[-1]
-    assert W * SUBS < (1 << (31 - 2 * TPS_BITS)), (
-        f"scene too large for packed window words ({W} windows)"
-    )
-    cat = lambda a: jnp.concatenate(a) if S > 1 else a[0]
-    first_all, last_all = cat(firsts), cat(lasts)
-
-    # program p covers pixels [p*TPS*TILE, (p+1)*TPS*TILE); its windows
-    # per stream are those with last >= P0 and first < P1 — a contiguous
-    # range since both sequences are non-decreasing along the stream
-    p0 = jnp.arange(nprog, dtype=jnp.int32) * (TPS * TILE)
-    los, his = [], []
-    for s in range(S):
-        lo = jnp.searchsorted(lasts[s], p0, side="left").astype(jnp.int32)
-        hi = jnp.searchsorted(
-            firsts[s], p0 + TPS * TILE, side="left"
-        ).astype(jnp.int32)
-        los.append(lo)
-        his.append(jnp.maximum(hi, lo))
-    cnt = jnp.stack(
-        [his[s] - los[s] for s in range(S)], axis=1
-    ).reshape(-1)  # (nprog*S,) in (program, stream) order
-    off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
-    )
-    progstart = off[::S]  # (nprog+1,): off[p*S] = start of program p
-
-    # flat word table; each program's windows can duplicate its
-    # neighbours' boundary windows, hence the +nprog*S static bound
-    nwords = W + nprog * S
-    j = jnp.arange(nwords, dtype=jnp.int32)
-    b = jnp.clip(
-        jnp.searchsorted(off, j, side="right").astype(jnp.int32) - 1,
-        0, nprog * S - 1,
-    )
-    p_of, s_of = b // S, b % S
-    lo_flat = jnp.stack(los, axis=1).reshape(-1)
-    sbase = jnp.asarray(base[:-1], jnp.int32)
-    winf = jnp.clip(
-        jnp.take(sbase, s_of) + jnp.take(lo_flat, b) + (j - jnp.take(off, b)),
-        0, W - 1,
-    )
-    ftl = jnp.clip(
-        jnp.take(first_all, winf) // TILE - p_of * TPS, 0, TPS - 1
-    )
-    ltl = jnp.clip(
-        jnp.take(last_all, winf) // TILE - p_of * TPS, 0, TPS - 1
-    )
-    wword = (winf * SUBS << (2 * TPS_BITS)) | (ftl << TPS_BITS) | ltl
-    return progstart, wword, nprog, ntiles_pad, nwords
-
-
-def _merge_seq_kernel(progstart_ref, wword_ref, *rest):
-    (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
-     wpid, wdep, wpay, sems) = rest
-    prog = pl.program_id(0)
-    bias = jnp.int32(-0x80000000)
-    maxi = jnp.full((SUBS, LANES), 0x7FFFFFFF, jnp.int32)
-    iota = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    t0 = prog * TPS
-    lo = progstart_ref[prog]
-    hi = progstart_ref[prog + 1]
-    for k in range(TPS):
-        outd_ref[k * SUBS : (k + 1) * SUBS, :] = maxi
-        outp_ref[k * SUBS : (k + 1) * SUBS, :] = maxi
-
-    def dma(g, slot):
-        r0 = wword_ref[g] >> (2 * TPS_BITS)
-        return [
-            pltpu.make_async_copy(
-                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot], sems.at[slot, 1]
-            ),
-            pltpu.make_async_copy(
-                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot], sems.at[slot, 2]
-            ),
-        ]
-
-    for r in range(RING):
-        @pl.when(lo + r < hi)
-        def _fill(r=r):
-            for c in dma(lo + r, r):
-                c.start()
-
-    def body(g, carry):
-        slot = jax.lax.rem(g - lo, RING)
-        for c in dma(g, slot):
-            c.wait()
-        word = wword_ref[g]
-        ftl = (word >> TPS_BITS) & (TPS - 1)
-        ltl = word & (TPS - 1)
-        # program-local pid: 0..TPS*TILE-1 for entries of our tiles;
-        # boundary windows carry foreign entries (negative / too large)
-        # that simply match no search target
-        lpid = wpid[slot] - t0 * TILE
-        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
-        pidrows = _rows_of(lpid)
-        deprows = _rows_of(dep)
-        payrows = _rows_of(pay)
-
-        @pl.when(g + RING < hi)
-        def _prefetch():
-            for c in dma(g + RING, slot):
-                c.start()
-
-        for k in range(TPS):
-            @pl.when((ftl <= k) & (k <= ltl))
-            def _tile(k=k):
-                tgt = iota + k * TILE
-                pos = jnp.zeros((SUBS, LANES), jnp.int32)
-                for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-                    probe = _flat_gather(pidrows, pos + (b - 1))
-                    pos = pos + (probe < tgt).astype(jnp.int32) * b
-                posc = jnp.minimum(pos, TILE - 1)
-                hit = _flat_gather(pidrows, posc) == tgt
-                cd = _flat_gather(deprows, posc)
-                cp = _flat_gather(payrows, posc)
-                sl = slice(k * SUBS, (k + 1) * SUBS)
-                bd = outd_ref[sl, :]
-                bp = outp_ref[sl, :]
-                less = (cd < bd) | ((cd == bd) & (cp < bp))
-                take = hit & less
-                outd_ref[sl, :] = jnp.where(take, cd, bd)
-                outp_ref[sl, :] = jnp.where(take, cp, bp)
-        return carry
-
-    jax.lax.fori_loop(lo, hi, body, 0)
-    for k in range(TPS):
-        sl = slice(k * SUBS, (k + 1) * SUBS)
-        outd_ref[sl, :] = outd_ref[sl, :] ^ bias
-        outp_ref[sl, :] = outp_ref[sl, :] ^ bias
-
-
-@partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
-def dense_from_sorted_seq_multi(parts, size: int, need_depth: bool = True,
-                                interpret: bool = False):
-    """v3 of dense_from_sorted_nk1_multi (same contract): sequential
-    stream windows + per-program tile ranges.  See the section comment
-    above for the design; exactness mirrors v2 — per-window segmented
-    suffix-min restores exact u64 (depth<<32|payload) order within each
-    window and the per-pixel RMW min combines across windows/streams.
-    """
-    progstart, wword, nprog, ntiles_pad, _nw = _seq_window_tables(
-        parts, size
-    )
-    cat = lambda arrs: (
-        jnp.concatenate(arrs) if len(arrs) > 1 else arrs[0]
-    )
-    as_i32 = lambda x: jax.lax.bitcast_convert_type(
-        x.astype(jnp.uint32), jnp.int32
-    ).reshape(-1, LANES)
-    spid_all = as_i32(cat([p for p, _d, _y in parts]))
-    sdep_all = as_i32(cat([d for _p, d, _y in parts]))
-    spay_all = as_i32(cat([y for _p, _d, y in parts]))
-
-    outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
-    outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
-    win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
-    outd, outp = pl.pallas_call(
-        _merge_seq_kernel,
-        grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=[outspec] * 2,
-        out_shape=[outshape] * 2,
-        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
-        interpret=interpret,
-    )(progstart, wword, spid_all, sdep_all, spay_all)
-
-    tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
-        ntiles_pad * TILE
-    )[:size]
-    fb_p = tou32(outp)
-    fb_d = tou32(outd) if need_depth else None
-    return fb_d, fb_p
-
-
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
 def dense_from_sorted(spid, sdep, spay, size: int, need_depth: bool = True,
                       interpret: bool = False):

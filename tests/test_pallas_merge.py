@@ -206,68 +206,3 @@ def test_hqs_sums_multi_stream_matches_single():
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
 
-
-# -------------------- v3: sequential stream windows --------------------
-
-
-@pytest.mark.parametrize("seed,oob", [(3, 0.4), (4, 0.0), (5, 0.95)])
-def test_merge_seq_matches_scatter(seed, oob):
-    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_seq_multi
-
-    pid, dep, pay = _mk(16 * 1024, seed=seed, oob_frac=oob)
-    ref_d, ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
-    spid, sdep, spay = jax.lax.sort([pid, dep, pay], num_keys=1,
-                                    is_stable=False)
-    got_d, got_p = dense_from_sorted_seq_multi(
-        [(spid, sdep, spay)], SIZE, True, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
-    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
-
-
-def test_merge_seq_heavy_collisions_and_ties():
-    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_seq_multi
-
-    rng = np.random.default_rng(9)
-    n = 8192
-    # runs span window AND program (4-tile) borders; depth ties must
-    # break by payload min
-    pid = rng.choice([1022, 1023, 4095, 4096, 4097, 40000], n).astype(
-        np.uint32
-    )
-    dep = rng.integers(0, 4, n).astype(np.uint32)
-    pay = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
-    ref_d, ref_p = sorted_resolve_u64_min(
-        jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay), SIZE, True
-    )
-    spid, sdep, spay = jax.lax.sort(
-        [jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay)],
-        num_keys=1, is_stable=False,
-    )
-    got_d, got_p = dense_from_sorted_seq_multi(
-        [(spid, sdep, spay)], SIZE, True, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
-    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
-
-
-def test_merge_seq_multi_stream_matches_global():
-    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_seq_multi
-
-    parts = []
-    allp = []
-    for seed in (3, 4, 5):
-        pid, dep, pay = _mk(8 * 1024, seed=seed, oob_frac=0.3)
-        allp.append((pid, dep, pay))
-        parts.append(tuple(jax.lax.sort([pid, dep, pay], num_keys=1,
-                                        is_stable=False)))
-    ref_d, ref_p = sorted_resolve_u64_min(
-        jnp.concatenate([p for p, _, _ in allp]),
-        jnp.concatenate([d for _, d, _ in allp]),
-        jnp.concatenate([y for _, _, y in allp]),
-        SIZE, True,
-    )
-    got_d, got_p = dense_from_sorted_seq_multi(parts, SIZE, True,
-                                               interpret=True)
-    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
-    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
