@@ -191,22 +191,30 @@ def render_frame_native(
     lod_n = jnp.minimum(lod_n, points)
     transform = frame_params[24:40].reshape(4, 4)
     size = width * height
-    pids, deps, pays = [], [], []
-    for c in range(nchunks):
+
+    # one scan step per chunk: the HLO stays O(1) in scene size (a
+    # 24-chunk 100M-point frame unrolled exceeds what the compile
+    # service accepts), and each chunk's nk1 sort rides inside the step
+    def chunk_body(carry, c):
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
             width, height, mode, use_pallas, points, fmt, tb,
         )
-        pids.append(pid_c)
-        deps.append(dep_c)
-        pays.append(pay_c)
+        sp, sd, sy = jax.lax.sort(
+            [pid_c.astype(jnp.uint32), dep_c, pay_c],
+            num_keys=1, is_stable=False,
+        )
+        return carry, (sp, sd, sy)
+
+    _c, (sps, sds, sys_) = jax.lax.scan(
+        chunk_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
+    )
     if mode == "colorize_overdraw":
         # per-pixel point counts -> 5-bucket spectral heatmap (debug mode;
         # reference: compute_loop_las_hqs/resolve.cs:54-103).  Counts use
         # the XLA scatter-add: a debug frame may cost ~20 ms, acceptable.
         counts = jnp.zeros((size,), jnp.uint32)
-        for pid_c in pids:
-            counts = counts.at[pid_c].add(jnp.uint32(1), mode="drop")
+        counts = counts.at[sps.reshape(-1)].add(jnp.uint32(1), mode="drop")
         color = jnp.full((size,), 0x00BA832B, jnp.uint32)
         for thresh, c in ((10, 0x00A4DDAB), (250, 0x00BFFFFF),
                           (1000, 0x0061AEFD), (4000, 0x001C19D7)):
@@ -216,7 +224,8 @@ def render_frame_native(
         ).reshape(height, width)
         return None, counts, img
     fb_d, fb_p = sorted_resolve_u64_min_parts(
-        list(zip(pids, deps, pays)), size, need_depth, use_pallas,
+        [(sps[c], sds[c], sys_[c]) for c in range(nchunks)],
+        size, need_depth, use_pallas, presorted=True,
     )
     if mode == "colorize_chunks":
         img = jnp.where(

@@ -83,15 +83,7 @@ def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
     return pid, w.reshape(-1), rgba, ok.reshape(-1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
-                     "fmt"),
-)
-def hqs_frame_native(dev, frame_params, scale, offset_rel,
-                     width: int, height: int, nchunks: int,
-                     use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                     tb=None):
+def _hqs_frame_setup(dev, frame_params, width, height, cull):
     from ..camera import frame_setup_device
 
     view = frame_params[0:16].reshape(4, 4)
@@ -100,62 +92,110 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
         frame_params[23].astype(jnp.int32), width, height,
         frame_params[22], cull,
     )
-    transform = frame_params[24:40].reshape(4, 4)
+    return lod_n, frame_params[24:40].reshape(4, 4)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
+                     "fmt"),
+)
+def hqs_prepass_native(dev, frame_params, scale, offset_rel,
+                       width: int, height: int, nchunks: int,
+                       use_pallas: bool, cull: bool, fmt: str = "tbatch",
+                       tb=None):
+    """HQS stage 1: dense per-pixel min-depth plane.
+
+    Stages 1 and 2 are SEPARATE jit programs on purpose: one fused HQS
+    graph is ~2x the color frame's and exceeds the compile service's
+    request-size limit at 100M points; each half is the size of the
+    color frame, which compiles at every measured scale.
+    """
+    lod_n, transform = _hqs_frame_setup(dev, frame_params, width, height,
+                                        cull)
     size = width * height
 
     # depth prepass: per-pixel min depth.  On TPU: per-chunk 1-key sorts
     # + the scatter-free multi-stream merge kernel (payload = the depth
     # bits themselves, so the run min IS the min depth); scatter-min on
-    # CPU.
-    prepass = []
-    for c in range(nchunks):
-        pid, w, _rgba, _ok = _project_native(
-            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, use_pallas, fmt, tb,
-        )
-        depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
-        prepass.append((pid, depth))
-    pallas_ok = use_pallas and all(
-        p.shape[0] % 1024 == 0 for p, _ in prepass
-    )
-    if pallas_ok:
+    # CPU.  Per-chunk work rides in lax.scan so the HLO stays O(1) in
+    # scene size (an unrolled 24-chunk 100M frame exceeds what the
+    # compile service accepts).
+    if use_pallas:
         from ..pallas_merge import dense_from_sorted_nk1_multi
 
-        sorted_parts = []
-        for p, d in prepass:
-            sp, sd = jax.lax.sort([p.astype(jnp.uint32), d],
+        def prep_body(carry, c):
+            pid, w, _rgba, _ok = _project_native(
+                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+                width, height, use_pallas, fmt, tb,
+            )
+            depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
+            sp, sd = jax.lax.sort([pid.astype(jnp.uint32), depth],
                                   num_keys=1, is_stable=False)
-            sorted_parts.append((sp, sd, sd))  # payload = the depth bits
+            return carry, (sp, sd)
+
+        _c, (sps, sds) = jax.lax.scan(
+            prep_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
+        )
+        # payload = the depth bits themselves
         _none, fb_depth = dense_from_sorted_nk1_multi(
-            sorted_parts, size, False
+            [(sps[c], sds[c], sds[c]) for c in range(nchunks)], size, False
         )
     else:
+        prepass = []
+        for c in range(nchunks):
+            pid, w, _rgba, _ok = _project_native(
+                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+                width, height, use_pallas, fmt, tb,
+            )
+            depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
+            prepass.append((pid, depth))
         cat = lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0]
         pid_all = cat([p for p, _ in prepass])
         dep_all = cat([d for _, d in prepass])
         fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
         fb_depth = fb_depth.at[pid_all].min(dep_all, mode="drop")
+    return fb_depth
 
-    if pallas_ok:
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
+                     "fmt"),
+)
+def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
+                     width: int, height: int, nchunks: int,
+                     use_pallas: bool, cull: bool, fmt: str = "tbatch",
+                     tb=None):
+    """HQS stage 2: tolerance-gated (r,g,b,count) sums + divide resolve."""
+    lod_n, transform = _hqs_frame_setup(dev, frame_params, width, height,
+                                        cull)
+    size = width * height
+    if use_pallas:
         # scatter-free accumulation: per-chunk nk1 sorts + the segmented
         # suffix-sum merge kernel with the in-kernel tolerance test (the
         # reference's two i64 atomicAdds, huffman_hqs/render.cu:311-313;
         # XLA scatter-add would cost ~4.8 ns/slot)
         from ..pallas_hqs import hqs_sums_from_sorted_multi
 
-        parts = []
-        for c in range(nchunks):
+        def blend_body(carry, c):
             pid, w, rgba, _ok = _project_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
                 width, height, use_pallas, fmt, tb,
             )
-            parts.append(tuple(jax.lax.sort(
+            sp, sd, sy = jax.lax.sort(
                 [pid.astype(jnp.uint32),
                  jax.lax.bitcast_convert_type(w, jnp.uint32), rgba],
                 num_keys=1, is_stable=False,
-            )))
+            )
+            return carry, (sp, sd, sy)
+
+        _c, (bps, bds, bys) = jax.lax.scan(
+            blend_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
+        )
         acc_r, acc_g, acc_b, acc_n = hqs_sums_from_sorted_multi(
-            parts, fb_depth, size
+            [(bps[c], bds[c], bys[c]) for c in range(nchunks)],
+            fb_depth, size
         )
     else:
         acc_r = jnp.zeros((size,), jnp.uint32)
@@ -180,6 +220,25 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     cnt = jnp.maximum(acc_n, 1)
     color = (acc_r // cnt) | ((acc_g // cnt) << 8) | ((acc_b // cnt) << 16)
     img = jnp.where(acc_n > 0, color, jnp.uint32(0x00443322)).reshape(height, width)
+    return acc_n, img
+
+
+def hqs_frame_native(dev, frame_params, scale, offset_rel,
+                     width: int, height: int, nchunks: int,
+                     use_pallas: bool, cull: bool, fmt: str = "tbatch",
+                     tb=None):
+    """Full HQS frame = prepass + blend, dispatched as TWO jit programs
+    (deliberately not jitted itself — see hqs_prepass_native; wrapping
+    this in an outer jit would re-inline both into one oversized graph).
+    """
+    fb_depth = hqs_prepass_native(
+        dev, frame_params, scale, offset_rel, width, height, nchunks,
+        use_pallas, cull, fmt, tb,
+    )
+    acc_n, img = hqs_blend_native(
+        dev, frame_params, scale, offset_rel, fb_depth, width, height,
+        nchunks, use_pallas, cull, fmt, tb,
+    )
     return fb_depth, acc_n, img
 
 

@@ -103,7 +103,8 @@ def sorted_scatter_u64_min(pid, depth, payload, size: int, fb_d, fb_p):
 
 
 def sorted_resolve_u64_min_parts(parts, size: int, need_depth: bool = True,
-                                 use_pallas: bool = False):
+                                 use_pallas: bool = False,
+                                 presorted: bool = False):
     """Whole-frame exact u64-min resolve from PER-CHUNK streams.
 
     parts: list of (pid, depth, payload) triples.  On the Pallas path
@@ -111,11 +112,14 @@ def sorted_resolve_u64_min_parts(parts, size: int, need_depth: bool = True,
     superlinearly — 1.3 ms at 4.2M vs 18.7 ms at 16.7M — and Morton
     chunks are spatially compact, so per-chunk sorting is strictly
     cheaper) and the merge kernel min-combines all streams per tile.
+    presorted: the caller already nk1-sorted each triple by pid (u32),
+    e.g. inside its per-chunk lax.scan; skip the sorts here.  The
+    fallback path is unaffected — it re-sorts globally regardless.
     """
     if use_pallas and all(p.shape[0] % 1024 == 0 for p, _d, _y in parts):
         from .pallas_merge import dense_from_sorted_nk1_multi
 
-        sorted_parts = [
+        sorted_parts = parts if presorted else [
             tuple(jax.lax.sort(
                 [pid.astype(jnp.uint32), depth, payload],
                 num_keys=1, is_stable=False,
