@@ -18,9 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import POINTS_PER_THREAD, RENDER_CHUNK_BATCHES
+from ...constants import POINTS_PER_THREAD
 from ...engine.debug import Debug
-from ...engine.method import Runtime
 from ..bc1_layout import bc1_payload_native
 from ..native_decode_xla import decode_fixed_xla, decode_native_xla
 from ..pallas_decode import decode_native_batches

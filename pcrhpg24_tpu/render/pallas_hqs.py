@@ -201,7 +201,24 @@ def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
     than one global sort); sums add exactly once because each entry
     appears in exactly one window of its tile per stream and the
     clamp-induced re-reads carry their drop count in the packed table.
+    Beyond ~200M points the SMEM window table would overflow; streams
+    then process in groups whose (r,g,b,n) planes simply add (each
+    entry is in exactly one group; the tolerance gate uses the same
+    fb_depth everywhere).
     """
+    from .pallas_merge import group_streams
+
+    ntiles0 = -(-size // TILE)
+    groups = group_streams(parts, (-(-ntiles0 // TPS)) * TPS)
+    if len(groups) > 1:
+        acc = None
+        for g in groups:
+            planes = hqs_sums_from_sorted_multi(g, fb_depth, size,
+                                                interpret)
+            acc = planes if acc is None else tuple(
+                a + p for a, p in zip(acc, planes)
+            )
+        return acc
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS

@@ -311,6 +311,32 @@ def dense_from_sorted_nk1(spid, sdep, spay, size: int,
     )
 
 
+# the packed window-word table lives in SMEM (1 MB); cap one kernel
+# call's table at ~720 KB and resolve bigger frames in stream groups
+# whose dense planes combine exactly (elementwise u64-min / sums)
+_SMEM_WORD_BUDGET = 180_000
+
+
+def group_streams(parts, ntiles_pad: int, budget: int | None = None):
+    """Split parts into groups whose window tables each fit in SMEM.
+
+    Grouping is shape-only (trace-time static).  One render chunk is
+    always far below the budget, so every group is non-empty.  The
+    budget reads the module global at call time so tests can shrink it.
+    """
+    budget = _SMEM_WORD_BUDGET if budget is None else budget
+    groups, cur, words = [], [], 0
+    for part in parts:
+        w = ntiles_pad + part[0].shape[0] // TILE
+        if cur and words + w > budget:
+            groups.append(cur)
+            cur, words = [], 0
+        cur.append(part)
+        words += w
+    groups.append(cur)
+    return groups
+
+
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
 def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
                                 interpret: bool = False):
@@ -324,13 +350,36 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     to the tiles it covers.  The kernel min-combines windows from all
     streams per tile — exactness needs no cross-stream order.
 
+    Beyond ~200M points one call's SMEM window table would overflow, so
+    streams resolve in groups and the group planes combine with an
+    exact elementwise u64 (depth<<32|payload) min — identical winners,
+    since min is associative over any partition of the entries.
+    """
+    ntiles = -(-size // TILE)
+    nprog0 = -(-ntiles // TPS)
+    groups = group_streams(parts, nprog0 * TPS)
+    fbd = fbp = None
+    for g in groups:
+        d, p = _dense_nk1_group(g, size, interpret)
+        if fbd is None:
+            fbd, fbp = d, p
+        else:
+            less = (d < fbd) | ((d == fbd) & (p < fbp))
+            fbd = jnp.where(less, d, fbd)
+            fbp = jnp.where(less, p, fbp)
+    return (fbd if need_depth else None), fbp
+
+
+def _dense_nk1_group(parts, size: int, interpret: bool):
+    """One merge-kernel invocation over a stream group (see caller).
+
     The window list is flattened across tiles and streams (SMEM tables
     wrow/wtile with per-program cumwin bounds) so the DMA ring stays
     RING-deep even when most tiles have a single window.  Window start
     rows are pre-clamped per stream so a window never reads across a
     stream boundary (entries there wouldn't be sorted relative to it).
     Both fb planes always materialize (the u64 min needs depth
-    regardless); need_depth only controls whether fb_d is returned.
+    regardless).
     """
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
@@ -418,9 +467,7 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE
     )[:size]
-    fb_p = tou32(outp)
-    fb_d = tou32(outd) if need_depth else None
-    return fb_d, fb_p
+    return tou32(outd), tou32(outp)
 
 
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))

@@ -206,3 +206,46 @@ def test_hqs_sums_multi_stream_matches_single():
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
 
+
+
+def test_grouped_resolve_matches_single(monkeypatch):
+    """Shrink the SMEM word budget so 3 streams split into groups; the
+    grouped u64-min combine and the grouped HQS sums must equal the
+    single-call results exactly (exercises the >200M-point path)."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+    from pcrhpg24_tpu.render.pallas_hqs import hqs_sums_from_sorted_multi
+
+    parts = []
+    allp = []
+    for seed in (3, 4, 5):
+        pid, dep, pay = _mk(8 * 1024, seed=seed, oob_frac=0.3)
+        allp.append((pid, dep, pay))
+        parts.append(tuple(jax.lax.sort([pid, dep, pay], num_keys=1,
+                                        is_stable=False)))
+    ref_d, ref_p = pm.dense_from_sorted_nk1_multi(parts, SIZE, True,
+                                                  interpret=True)
+    ntiles_pad = (-(-SIZE // pm.TILE) // pm.TPS + (
+        1 if (-(-SIZE // pm.TILE)) % pm.TPS else 0)) * pm.TPS
+    assert len(pm.group_streams(parts, ntiles_pad, budget=60)) > 1
+    monkeypatch.setattr(pm, "_SMEM_WORD_BUDGET", 60)
+    # the jit cache key doesn't include the module global: drop it so
+    # the grouped trace actually happens
+    pm.dense_from_sorted_nk1_multi.clear_cache()
+    got_d, got_p = pm.dense_from_sorted_nk1_multi(parts, SIZE, True,
+                                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+    fbd = ref_d  # dense min-depth plane for the tolerance gate
+    monkeypatch.setattr(pm, "_SMEM_WORD_BUDGET", 10**9)
+    hqs_sums_from_sorted_multi.clear_cache()
+    ref_sums = hqs_sums_from_sorted_multi(parts, fbd, SIZE, interpret=True)
+    monkeypatch.setattr(pm, "_SMEM_WORD_BUDGET", 60)
+    hqs_sums_from_sorted_multi.clear_cache()
+    got_sums = hqs_sums_from_sorted_multi(parts, fbd, SIZE, interpret=True)
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(got_sums[k]), np.asarray(ref_sums[k])
+        )
+    pm.dense_from_sorted_nk1_multi.clear_cache()
+    hqs_sums_from_sorted_multi.clear_cache()
