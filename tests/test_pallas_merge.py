@@ -249,3 +249,20 @@ def test_grouped_resolve_matches_single(monkeypatch):
         )
     pm.dense_from_sorted_nk1_multi.clear_cache()
     hqs_sums_from_sorted_multi.clear_cache()
+
+
+def test_group_streams_edges():
+    """Grouping is shape-only: singleton stays one group; the budget
+    boundary is inclusive; a lone oversized part still forms a group."""
+    from pcrhpg24_tpu.render.pallas_merge import TILE, group_streams
+
+    mk = lambda n: (jnp.zeros(n, jnp.uint32),) * 3
+    ntp = 48
+    # one part: always a single group, even if over budget
+    assert len(group_streams([mk(8 * TILE)], ntp, budget=1)) == 1
+    # words per part = ntp + n/TILE = 48 + 8 = 56; budget 112 fits two
+    g = group_streams([mk(8 * TILE)] * 4, ntp, budget=112)
+    assert [len(x) for x in g] == [2, 2]
+    # inclusive boundary: 3 parts at budget 168 = exactly 3*56
+    g = group_streams([mk(8 * TILE)] * 3, ntp, budget=168)
+    assert [len(x) for x in g] == [3]
