@@ -166,6 +166,22 @@ def main() -> int:
                   cull=True, need_depth=False,
                   fmt="fixed" if getattr(las, "version", 1) == 2 else "tbatch")
 
+        # resolve gate: the Pallas merge image must equal the XLA
+        # scatter path's bit-for-bit (the decode gate above covers the
+        # decode kernel; this covers collapse + per-chunk sorts + the
+        # merge kernel).  Skipped at scale sizes where the scatter
+        # fallback would dominate the run.
+        if las.num_batches_loaded <= 256:
+            _d1, _p1, img1 = render_frame_native(
+                las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
+            _d2, _p2, img2 = render_frame_native(
+                las.dev, fpd, scale, offset_rel, tb=tbd,
+                **dict(kw, use_pallas=False))
+            if not np.array_equal(np.asarray(img1), np.asarray(img2)):
+                print(json.dumps(
+                    {"error": "TPU resolve bit-exactness gate FAILED"}))
+                return 1
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(dev, fp, scale, offset_rel, k):
             acc = jnp.uint32(0)
