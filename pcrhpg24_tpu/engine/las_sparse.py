@@ -119,6 +119,13 @@ class LasSparseData(Resource):
                         grid = np.rint(
                             (world - self.offset) / self.scale
                         ).astype(np.int64)
+                        # a file whose extent lands outside +/-2^31 of the
+                        # scene grid would silently wrap in the i32 cast
+                        if grid.size and np.abs(grid).max() >= 2**31:
+                            raise ValueError(
+                                f"{path}: points exceed the scene grid's "
+                                "int32 range after re-quantization"
+                            )
                         x = grid[:, 0].astype(np.int32)
                         y = grid[:, 1].astype(np.int32)
                         z = grid[:, 2].astype(np.int32)

@@ -1088,8 +1088,10 @@ def write_laz(path: str, x, y, z, rgb=None, scale=(0.001, 0.001, 0.001),
         gps_i64 = np.asarray(gps_time, np.float64).view(np.int64)
 
     # laszip VLR payload (laszip.cpp pack/unpack layout)
+    # -1 for the special-EVLR count/offset i64s when unused, matching the
+    # laszip VLR convention (laszip.cpp); 0 could read as "present at 0"
     vlr_payload = struct.pack("<HHBBHIIqqH", 2, 0, 2, 2, 2, 0, chunk_size,
-                              0, 0, len(items))
+                              -1, -1, len(items))
     for t, sz, v in items:
         vlr_payload += struct.pack("<HHH", t, sz, v)
     vlr = (
@@ -1168,6 +1170,10 @@ def read_laz_points(path: str, first: int = 0, count: int | None = None):
      num_items) = struct.unpack_from("<HHBBHIIqqH", laszip_vlr, 0)
     assert compressor == 2, f"unsupported laszip compressor {compressor}"
     assert coder == 0, f"unsupported laszip coder {coder}"
+    # 0xFFFFFFFF marks adaptive/variable chunking (lasreadpoint.cpp);
+    # treating it as a fixed chunk size would silently corrupt coords
+    assert chunk_size != 0xFFFFFFFF, \
+        f"{path}: variable-chunk LAZ (chunk_size=-1) unsupported"
     items = [struct.unpack_from("<HHH", laszip_vlr, 34 + 6 * i)
              for i in range(num_items)]
     types = [t for t, _s, _v in items]
