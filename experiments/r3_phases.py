@@ -100,11 +100,16 @@ def f_sorted(tok, k):
 
 
 # ---- phase 4: merge kernel on the frame's real sorted stream ----
-pid, dep, pay = render_chunk_native(
-    dev, 0, wvp_d, lod_d, scale, offset_rel, W, H, "color",
-    fmt="fixed", tb=tb)
-spid, sdep, spay = jax.block_until_ready(jax.lax.sort(
-    [pid.astype(jnp.uint32), dep, pay], num_keys=1, is_stable=False))
+@jax.jit
+def produce_stream(wvp_in):
+    pid, dep, pay = render_chunk_native(
+        dev, 0, wvp_in, lod_d, scale, offset_rel, W, H, "color",
+        fmt="fixed", tb=tb)
+    return jax.lax.sort(
+        [pid.astype(jnp.uint32), dep, pay], num_keys=1, is_stable=False)
+
+
+spid, sdep, spay = jax.block_until_ready(produce_stream(wvp_d))
 nreal = int((np.asarray(spid) < SIZE).sum())
 npts = int(pid.shape[0])
 print(f"points={npts} real_entries={nreal} "

@@ -72,6 +72,9 @@ class NativeLasData(Resource):
                 ptrs=jnp.zeros((B, 1, 64), jnp.int32),
                 starts=jnp.zeros((B, 3, G, 128), jnp.int32),
                 colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
+                # BC1 blocks in the project kernel's layout (block, word,
+                # g, lane) — render/pallas_project.py
+                colors_k=jnp.zeros((B, 4, 2, G, 128), jnp.uint32),
                 bbox_min=jnp.zeros((B, 3), jnp.float32),
                 bbox_max=jnp.zeros((B, 3), jnp.float32),
                 anchor=jnp.zeros((B, 3), jnp.int32),
@@ -139,6 +142,13 @@ class NativeLasData(Resource):
                 d[key] = _upload_rows(d[key], start, jnp.asarray(packed[key]))
             colors = np.stack([c for _nb, c in items]).astype(np.uint32)
             d["colors"] = _upload_rows(d["colors"], start, jnp.asarray(colors))
+            if self.version == 2:
+                from ..render.pallas_project import colors_kernel_layout
+
+                d["colors_k"] = _upload_rows(
+                    d["colors_k"], start,
+                    jnp.asarray(colors_kernel_layout(colors)),
+                )
             # component-wise chain-start minimum: identical for the same
             # batch across formats, so the XLA .huffman path and this one
             # produce bit-identical projections (tests/fbcompare)

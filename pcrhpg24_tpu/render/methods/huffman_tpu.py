@@ -37,6 +37,7 @@ def render_chunk_native(
     dev, chunk_start, transform, lod_n, scale, offset_rel,
     width: int, height: int, mode: str, use_pallas: bool = True,
     points: int = POINTS_PER_THREAD, fmt: str = "tbatch", tb=None,
+    nbatches: int = CHUNK, interpret: bool = False,
 ):
     """Decode + project one chunk; returns flat (pid, depth, payload).
 
@@ -49,16 +50,35 @@ def render_chunk_native(
     batch-RELATIVE to dev["anchor"], the TPU equivalent of the
     reference's double-precision close-up path (render.cu:459-461).
     """
-    C = CHUNK
+    C = nbatches
     if fmt == "fixed":
         decode = decode_fixed_batches if use_pallas else decode_fixed_xla
+        dkw = dict(interpret=True) if (use_pallas and interpret) else {}
         coords = decode(
             _slice_rows(dev["widths"], chunk_start, C),
             _slice_rows(dev["streams"], chunk_start, C),
             _slice_rows(dev["ptrs"], chunk_start, C),
             _slice_rows(dev["starts"], chunk_start, C),
-            points=points,
+            points=points, **dkw,
         )
+        if use_pallas and mode == "color" and tb is not None:
+            # fused projection+BC1+collapse kernel: one pass instead of
+            # the multi-materialization XLA stage below (bit-identical,
+            # experiments/r3_div_parity.py + the bench resolve gate)
+            from ..pallas_project import project_batches
+
+            t = transform.astype(jnp.float32)
+            frame12 = jnp.concatenate(
+                [t[0, :3], t[1, :3], t[3, :3], scale[:3]]
+            )
+            pid, dep, pay = project_batches(
+                coords, _slice_rows(dev["colors_k"], chunk_start, C),
+                _slice_rows(dev["anchor"], chunk_start, C),
+                _slice_rows(tb, chunk_start, C),
+                _slice_rows(lod_n, chunk_start, C).astype(jnp.int32),
+                frame12, width, height, points=points, interpret=interpret,
+            )
+            return pid.reshape(-1), dep.reshape(-1), pay.reshape(-1)
     else:
         decode = decode_native_batches if use_pallas else decode_native_xla
         coords = decode(
