@@ -62,12 +62,15 @@ def slope(fn, label, k1=1, k2=6):
 @functools.partial(jax.jit, static_argnames=("k",))
 def f_decode(tok, k):
     acc = jnp.uint32(0)
+    ptrs = dev["ptrs"]
     for _ in range(k):
         coords = decode_fixed_batches(
-            dev["widths"], dev["streams"],
-            dev["ptrs"] + tok.astype(jnp.int32) * 0, dev["starts"])
-        acc += coords[0, 0, 0, 0, 0].astype(jnp.uint32)
-        tok = acc
+            dev["widths"], dev["streams"], ptrs, dev["starts"])
+        probe = coords[0, 0, 0, 0, 0].astype(jnp.uint32)
+        acc += probe
+        # un-foldable chain: XLA cannot prove probe != magic
+        ptrs = dev["ptrs"] + jnp.where(
+            probe == jnp.uint32(123456789), 1, 0).astype(jnp.int32)
     return acc
 
 
@@ -75,12 +78,15 @@ def f_decode(tok, k):
 @functools.partial(jax.jit, static_argnames=("k",))
 def f_chunk(tok, k):
     acc = jnp.uint32(0)
+    w = wvp_d
     for _ in range(k):
         pid, dep, pay = render_chunk_native(
-            dev, 0, wvp_d + tok.astype(jnp.float32) * 0, lod_d, scale,
+            dev, 0, w, lod_d, scale,
             offset_rel, W, H, "color", fmt="fixed", tb=tb)
-        acc += pid[0].astype(jnp.uint32) + dep[0] + pay[0]
-        tok = acc
+        probe = pid[0].astype(jnp.uint32) + dep[0] + pay[0]
+        acc += probe
+        w = wvp_d + jnp.where(
+            probe == jnp.uint32(123456789), 1.0, 0.0).astype(jnp.float32)
     return acc
 
 
@@ -88,14 +94,17 @@ def f_chunk(tok, k):
 @functools.partial(jax.jit, static_argnames=("k",))
 def f_sorted(tok, k):
     acc = jnp.uint32(0)
+    w = wvp_d
     for _ in range(k):
         pid, dep, pay = render_chunk_native(
-            dev, 0, wvp_d + tok.astype(jnp.float32) * 0, lod_d, scale,
+            dev, 0, w, lod_d, scale,
             offset_rel, W, H, "color", fmt="fixed", tb=tb)
         sp, sd, sy = jax.lax.sort(
             [pid.astype(jnp.uint32), dep, pay], num_keys=1, is_stable=False)
-        acc += sp[0] + sd[0] + sy[0]
-        tok = acc
+        probe = sp[0] + sd[0] + sy[0]
+        acc += probe
+        w = wvp_d + jnp.where(
+            probe == jnp.uint32(123456789), 1.0, 0.0).astype(jnp.float32)
     return acc
 
 
@@ -111,7 +120,7 @@ def produce_stream(wvp_in):
 
 spid, sdep, spay = jax.block_until_ready(produce_stream(wvp_d))
 nreal = int((np.asarray(spid) < SIZE).sum())
-npts = int(pid.shape[0])
+npts = int(spid.shape[0])
 print(f"points={npts} real_entries={nreal} "
       f"({100.0*nreal/npts:.1f}%)", flush=True)
 
@@ -127,20 +136,23 @@ if real.size:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def f_merge(tok, k):
+def f_merge(tok, k, ilp=True):
     acc = jnp.uint32(0)
-    sp = spid + tok * 0
+    sp = spid
     for _ in range(k):
         fd, fp = dense_from_sorted_nk1_multi(
-            [(sp, sdep, spay)], SIZE, need_depth=True)
-        acc += fp[0] + fd[0]
-        sp = spid + (acc & jnp.uint32(0))
+            [(sp, sdep, spay)], SIZE, need_depth=True, ilp=ilp)
+        probe = fp[0] + fd[0]
+        acc += probe
+        sp = spid + jnp.where(probe == jnp.uint32(123456789), 1, 0).astype(
+            jnp.uint32)
     return acc
 
 
 d_ms = slope(f_decode, "decode kernel")
 c_ms = slope(f_chunk, "decode+project+collapse")
 s_ms = slope(f_sorted, "  +sort nk1")
-m_ms = slope(f_merge, "merge kernel")
+m_ms = slope(functools.partial(f_merge, ilp=False), "merge kernel v2")
+m2_ms = slope(f_merge, "merge kernel ilp")
 print(f"\nproject+collapse = {c_ms - d_ms:.2f} ms   sort = {s_ms - c_ms:.2f} ms"
       f"\nsum(parts) = {s_ms + m_ms:.2f} ms", flush=True)

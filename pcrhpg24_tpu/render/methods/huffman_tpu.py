@@ -31,6 +31,8 @@ from .huffman_mem_iter import HuffmanMemIter, _slice_rows
 # smaller chunk than the XLA path: bounds Mosaic compile time of the
 # per-batch grid and the scatter size (64 batches = 4.2M points/pass)
 CHUNK = 64
+# sorted-stream rows per chunk (see render_frame_native's chunk_body)
+SORT_ROWS = 128
 
 
 def render_chunk_native(
@@ -38,6 +40,7 @@ def render_chunk_native(
     width: int, height: int, mode: str, use_pallas: bool = True,
     points: int = POINTS_PER_THREAD, fmt: str = "tbatch", tb=None,
     nbatches: int = CHUNK, interpret: bool = False,
+    chain_collapse: bool = True,
 ):
     """Decode + project one chunk; returns flat (pid, depth, payload).
 
@@ -77,6 +80,7 @@ def render_chunk_native(
                 _slice_rows(tb, chunk_start, C),
                 _slice_rows(lod_n, chunk_start, C).astype(jnp.int32),
                 frame12, width, height, points=points, interpret=interpret,
+                chain_collapse=chain_collapse,
             )
             return pid.reshape(-1), dep.reshape(-1), pay.reshape(-1)
     else:
@@ -128,8 +132,12 @@ def render_chunk_native(
     px = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
     py = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
     ok &= (px >= 0) & (px < width) & (py >= 0) & (py < height)
-    size = width * height
-    pid = jnp.where(ok, px + py * width, size)
+    # swizzled 32x32-px tile id space (raster.swizzle_pid): square tiles
+    # keep Morton segments window-compact in the merge kernel
+    from ..raster import swizzle_dims, swizzle_pid
+
+    _wt, _ht, size = swizzle_dims(width, height)
+    pid = jnp.where(ok, swizzle_pid(px, py, width), size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
 
     if mode == "colorize_chunks":
@@ -209,32 +217,42 @@ def render_frame_native(
     # static bucket is authoritative either way
     lod_n = jnp.minimum(lod_n, points)
     transform = frame_params[24:40].reshape(4, 4)
-    size = width * height
+    from ..raster import swizzle_dims, unswizzle_plane
+
+    _wt, _ht, size = swizzle_dims(width, height)  # swizzled id space
 
     # one scan step per chunk: the HLO stays O(1) in scene size (a
     # 24-chunk 100M-point frame unrolled exceeds what the compile
-    # service accepts), and each chunk's nk1 sort rides inside the step
+    # service accepts).  Each chunk's stream is sorted as SORT_ROWS
+    # independent rows — XLA's batched sort at row width n is far
+    # cheaper than one flat sort (0.87 ms at 256x16K vs 6.4 ms at 4.2M,
+    # experiments/r3_sort_menu.py) and the swizzled tile space keeps
+    # per-row merge windows compact (experiments/r3_windows.py).
     def chunk_body(carry, c):
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
             width, height, mode, use_pallas, points, fmt, tb,
         )
+        n = pid_c.shape[0] // SORT_ROWS
         sp, sd, sy = jax.lax.sort(
-            [pid_c.astype(jnp.uint32), dep_c, pay_c],
-            num_keys=1, is_stable=False,
+            [pid_c.reshape(SORT_ROWS, n).astype(jnp.uint32),
+             dep_c.reshape(SORT_ROWS, n), pay_c.reshape(SORT_ROWS, n)],
+            num_keys=1, is_stable=False, dimension=1,
         )
         return carry, (sp, sd, sy)
 
     _c, (sps, sds, sys_) = jax.lax.scan(
         chunk_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
     )
+    nseg = sps.shape[-1]
     if mode == "colorize_overdraw":
         # per-pixel point counts -> 5-bucket spectral heatmap (debug mode;
         # reference: compute_loop_las_hqs/resolve.cs:54-103).  Counts use
         # the XLA scatter-add: a debug frame may cost ~20 ms, acceptable.
         counts = jnp.zeros((size,), jnp.uint32)
         counts = counts.at[sps.reshape(-1)].add(jnp.uint32(1), mode="drop")
-        color = jnp.full((size,), 0x00BA832B, jnp.uint32)
+        counts = unswizzle_plane(counts, width, height)
+        color = jnp.full((width * height,), 0x00BA832B, jnp.uint32)
         for thresh, c in ((10, 0x00A4DDAB), (250, 0x00BFFFFF),
                           (1000, 0x0061AEFD), (4000, 0x001C19D7)):
             color = jnp.where(counts >= thresh, jnp.uint32(c), color)
@@ -242,10 +260,24 @@ def render_frame_native(
             counts > 0, color, jnp.uint32(0x00443322)
         ).reshape(height, width)
         return None, counts, img
-    fb_d, fb_p = sorted_resolve_u64_min_parts(
-        [(sps[c], sds[c], sys_[c]) for c in range(nchunks)],
-        size, need_depth, use_pallas, presorted=True,
-    )
+    if use_pallas:
+        from ..pallas_merge import dense_from_sorted_rows
+
+        fb_d, fb_p = dense_from_sorted_rows(
+            sps.reshape(-1, nseg), sds.reshape(-1, nseg),
+            sys_.reshape(-1, nseg), size, need_depth,
+        )
+    else:
+        from ..raster import sorted_resolve_u64_min
+
+        fb_d, fb_p = sorted_resolve_u64_min(
+            sps.reshape(-1), sds.reshape(-1), sys_.reshape(-1),
+            size, need_depth, use_pallas=False,
+        )
+    # back to linear pixel ids for all external consumers
+    fb_p = unswizzle_plane(fb_p, width, height)
+    if fb_d is not None:
+        fb_d = unswizzle_plane(fb_d, width, height)
     if mode == "colorize_chunks":
         img = jnp.where(
             fb_p != EMPTY, fb_p * jnp.uint32(1234567), jnp.uint32(0x00443322)

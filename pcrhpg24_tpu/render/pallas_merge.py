@@ -293,7 +293,108 @@ def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
         outd_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k] ^ bias
 
 
+def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                          wide: int = 2):
+    """`wide`-windows-per-iteration variant of _merge_nk1_kernel.
+
+    The v2 kernel's inner loop is latency-bound: the 10-probe binary
+    search and the suffix-min are serial dependency chains on single
+    (8,128) vregs, so the VPU idles between steps.  Processing `wide`
+    windows per fori_loop body gives the scheduler independent chains
+    to interleave.  The table builder pads every program's window count
+    to a multiple of `wide` with dummy windows aimed at the stream tail
+    (sentinel entries -> no hits; re-reading real entries is idempotent
+    under the min accumulator), so no in-kernel clamping is needed.
+    """
+    (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
+     wpid, wdep, wpay, sems) = rest
+    prog = pl.program_id(0)
+    bias = jnp.int32(-0x80000000)
+    maxi = jnp.full((SUBS, LANES), 0x7FFFFFFF, jnp.int32)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    t0 = prog * TPS
+    lo = cumwin_ref[t0]
+    hi = cumwin_ref[t0 + TPS]
+
+    def dma(g, slot):
+        r0 = jnp.minimum(wrowtile_ref[g] >> TPS_BITS, nrows - SUBS)
+        return [
+            pltpu.make_async_copy(
+                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot], sems.at[slot, 2]
+            ),
+        ]
+
+    for r in range(RING):
+        @pl.when(lo + r < hi)
+        def _fill(r=r):
+            for c in dma(lo + r, r):
+                c.start()
+
+    def one_window(g, slot):
+        """Load + suffix-min + probe one window; returns (lt, hit, cd, cp)."""
+        for c in dma(g, slot):
+            c.wait()
+        lt = wrowtile_ref[g] & (TPS - 1)
+        lpid = wpid[slot] - (t0 + lt) * TILE
+        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
+        pidrows = _rows_of(lpid)
+        pos = jnp.zeros((SUBS, LANES), jnp.int32)
+        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            probe = _flat_gather(pidrows, pos + (b - 1))
+            pos = pos + (probe < iota).astype(jnp.int32) * b
+        posc = jnp.minimum(pos, TILE - 1)
+        hit = _flat_gather(pidrows, posc) == iota
+        cd = _flat_gather(_rows_of(dep), posc)
+        cp = _flat_gather(_rows_of(pay), posc)
+        return lt, hit, cd, cp
+
+    def upd(best, res):
+        lt, hit, cd, cp = res
+        out = []
+        for kk in range(TPS):
+            bd, bp = best[2 * kk], best[2 * kk + 1]
+            mine = lt == kk
+            less = (cd < bd) | ((cd == bd) & (cp < bp))
+            take = mine & hit & less
+            out.append(jnp.where(take, cd, bd))
+            out.append(jnp.where(take, cp, bp))
+        return tuple(out)
+
+    def body2(k, best):
+        g0 = lo + wide * k
+        ress = []
+        for j in range(wide):
+            g = g0 + j
+            s = jax.lax.rem(g - lo, RING)
+            ress.append(one_window(g, s))
+
+            @pl.when(g + RING < hi)
+            def _pf(g=g, s=s):
+                for c in dma(g + RING, s):
+                    c.start()
+
+        for res in ress:
+            best = upd(best, res)
+        return best
+
+    init = (maxi,) * (2 * TPS)
+    out = jax.lax.fori_loop(0, jax.lax.div(hi - lo, wide), body2, init)
+    for k in range(TPS):
+        outp_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k + 1] ^ bias
+        outd_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k] ^ bias
+
+
 RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
+ILP_WIDE = 2  # windows per loop iteration in the ILP kernel
 
 
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
@@ -337,9 +438,10 @@ def group_streams(parts, ntiles_pad: int, budget: int | None = None):
     return groups
 
 
-@partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
+@partial(jax.jit,
+         static_argnames=("size", "need_depth", "interpret", "ilp"))
 def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False, ilp: bool = True):
     """Multi-stream variant: `parts` is a list of independently
     pid-sorted (spid, sdep, spay) triples (one per render chunk).
 
@@ -360,7 +462,7 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     groups = group_streams(parts, nprog0 * TPS)
     fbd = fbp = None
     for g in groups:
-        d, p = _dense_nk1_group(g, size, interpret)
+        d, p = _dense_nk1_group(g, size, interpret, ilp)
         if fbd is None:
             fbd, fbp = d, p
         else:
@@ -370,7 +472,7 @@ def dense_from_sorted_nk1_multi(parts, size: int, need_depth: bool = True,
     return (fbd if need_depth else None), fbp
 
 
-def _dense_nk1_group(parts, size: int, interpret: bool):
+def _dense_nk1_group(parts, size: int, interpret: bool, ilp: bool = True):
     """One merge-kernel invocation over a stream group (see caller).
 
     The window list is flattened across tiles and streams (SMEM tables
@@ -415,6 +517,19 @@ def _dense_nk1_group(parts, size: int, interpret: bool):
         f"({rowoff} rows, {ntiles_pad} tiles)"
     )
     nwin_tot = sum(nw for _fr, nw, _e in per_stream)
+    if ilp:
+        # pad every program's window count to a multiple of ILP_WIDE for
+        # the wide kernel: the extra slots land on the program's last
+        # tile, stay unclaimed by any stream, and so read the stream
+        # tail (the wrow default below) — sentinel entries, no hits,
+        # exact.
+        psum = nwin_tot.reshape(nprog, TPS).sum(axis=1)
+        pad = (-psum) % ILP_WIDE
+        pad_vec = jnp.zeros((nprog, TPS), jnp.int32).at[:, TPS - 1].set(
+            pad
+        ).reshape(ntiles_pad)
+        nwin_tot = nwin_tot + pad_vec
+        wmax += nprog * (ILP_WIDE - 1)
     cumwin = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
     )
@@ -424,7 +539,7 @@ def _dense_nk1_group(parts, size: int, interpret: bool):
         0, ntiles_pad - 1,
     )
     wloc = gidx - jnp.take(cumwin, wtile)  # window index within the tile
-    wrow = jnp.zeros(wmax, jnp.int32)
+    wrow = jnp.full((wmax,), nrows - SUBS, jnp.int32)
     base = jnp.zeros(ntiles_pad, jnp.int32)
     for fr, nw, stream_end in per_stream:
         mine = (wloc >= jnp.take(base, wtile)) & (
@@ -448,7 +563,9 @@ def _dense_nk1_group(parts, size: int, interpret: bool):
     sdep_all = as_i32(cat([d for _p, d, _y in parts]))
     spay_all = as_i32(cat([y for _p, _d, y in parts]))
 
-    kern = partial(_merge_nk1_kernel, nrows=nrows)
+    kern = partial(
+        _merge_nk1_kernel_ilp, nrows=nrows, wide=ILP_WIDE
+    ) if ilp else partial(_merge_nk1_kernel, nrows=nrows)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
@@ -462,6 +579,142 @@ def _dense_nk1_group(parts, size: int, interpret: bool):
         scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
         interpret=interpret,
     )(cumwin, wrowtile, spid_all, sdep_all, spay_all)
+    outd, outp = outs
+
+    tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
+        ntiles_pad * TILE
+    )[:size]
+    return tou32(outd), tou32(outp)
+
+
+# ---------------------------------------------------------------------------
+# v3: dense framebuffer from MANY equal-width pid-sorted streams (rows)
+# ---------------------------------------------------------------------------
+#
+# The frame's global nk1 sort costs 6.4 ms at 4.2M entries on v5e, but
+# XLA's batched sort over (rows, n) rows is dramatically cheaper at
+# small n (0.87 ms at 256x16384, experiments/r3_sort_menu.py).  With the
+# swizzled (32x32-px tile) pid space each Morton row-segment stays
+# screen-compact, so per-stream windows grow only mildly
+# (experiments/r3_windows.py).  This path accepts the (S, n) sorted
+# rows directly and builds the flat window table fully vectorized over
+# streams (the v2 builder loops per stream in Python — fine for ~4
+# chunks, fatal for hundreds of rows).
+
+
+@partial(jax.jit,
+         static_argnames=("size", "need_depth", "interpret", "ilp"))
+def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
+                           need_depth: bool = True,
+                           interpret: bool = False, ilp: bool = True):
+    """(S, n) pid-sorted rows -> dense (fb_d, fb_p), EMPTY-filled.
+
+    Each row is an independently pid-ascending stream (OOB sentinels at
+    its tail); the kernel min-combines windows from all rows per tile —
+    exact u64 (depth<<32|payload) winners.  Rows are processed in groups
+    whose window tables fit the SMEM budget; group planes combine with
+    an exact elementwise u64-min.
+    """
+    S, n = sp2d.shape
+    assert n % TILE == 0, n
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+    words_per_stream = ntiles_pad + n // TILE
+    smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
+    fbd = fbp = None
+    for g0 in range(0, S, smax):
+        d, p = _dense_rows_group(
+            sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
+            size, interpret, ilp,
+        )
+        if fbd is None:
+            fbd, fbp = d, p
+        else:
+            less = (d < fbd) | ((d == fbd) & (p < fbp))
+            fbd = jnp.where(less, d, fbd)
+            fbp = jnp.where(less, p, fbp)
+    return (fbd if need_depth else None), fbp
+
+
+def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
+                      ilp: bool):
+    S, n = sp2d.shape
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+    rowstride = n // LANES
+    nrows = S * rowstride
+    bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
+
+    starts = jax.vmap(
+        lambda a: jnp.searchsorted(a, bounds).astype(jnp.int32)
+    )(sp2d)  # (S, T+1)
+    s0, s1 = starts[:, :-1], starts[:, 1:]
+    first_row_local = s0 // LANES
+    span = s1 - first_row_local * LANES
+    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)  # (S, T)
+    first_row = first_row_local + (
+        jnp.arange(S, dtype=jnp.int32) * rowstride
+    )[:, None]
+    stream_end = (jnp.arange(S, dtype=jnp.int32) + 1) * rowstride
+
+    nwin_tot = nwin.sum(axis=0, dtype=jnp.int32)  # (T,)
+    wide = ILP_WIDE if ilp else 1
+    wmax = S * ntiles_pad + S * (n // TILE)
+    if wide > 1:
+        psum = nwin_tot.reshape(nprog, TPS).sum(axis=1)
+        pad = (-psum) % wide
+        nwin_tot = nwin_tot + jnp.zeros(
+            (nprog, TPS), jnp.int32
+        ).at[:, TPS - 1].set(pad).reshape(ntiles_pad)
+        wmax += nprog * (wide - 1)
+    assert rowstride * S < (1 << (31 - TPS_BITS)), "scene too large"
+
+    cumwin = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
+    )
+    gidx = jnp.arange(wmax, dtype=jnp.int32)
+    wtile = jnp.clip(
+        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1,
+        0, ntiles_pad - 1,
+    )
+    wloc = gidx - jnp.take(cumwin, wtile)
+    # stream bases within each tile's window list (stream-major order)
+    base = jnp.concatenate(
+        [jnp.zeros((1, ntiles_pad), jnp.int32),
+         jnp.cumsum(nwin, axis=0, dtype=jnp.int32)]
+    )  # (S+1, T)
+    base_rows = base.T[wtile]  # (wmax, S+1)
+    sid = jnp.sum(base_rows <= wloc[:, None], axis=1).astype(jnp.int32) - 1
+    sidc = jnp.clip(sid, 0, S - 1)
+    local = wloc - jnp.take_along_axis(
+        base_rows, sidc[:, None], axis=1
+    )[:, 0]
+    row = first_row[sidc, wtile] + local * SUBS
+    row = jnp.minimum(row, jnp.take(stream_end, sidc) - SUBS)
+    row = jnp.where(sid >= S, nrows - SUBS, row)  # ILP pad dummies
+    wrowtile = (row << TPS_BITS) | (wtile & (TPS - 1))
+
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint32), jnp.int32
+    ).reshape(-1, LANES)
+    kern = partial(
+        _merge_nk1_kernel_ilp, nrows=nrows, wide=wide
+    ) if ilp else partial(_merge_nk1_kernel, nrows=nrows)
+    outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
+    outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
+    win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[outspec] * 2,
+        out_shape=[outshape] * 2,
+        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+        interpret=interpret,
+    )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d))
     outd, outp = outs
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(

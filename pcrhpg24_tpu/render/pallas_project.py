@@ -91,9 +91,12 @@ def _project_kernel(
     dep_ref,  # VMEM (1, points, G, 128) u32 out
     pay_ref,  # VMEM (1, points, G, 128) u32 out
     *, width: int, height: int, points: int, steps: int,
+    chain_collapse: bool,
 ):
-    size = width * height
-    sent = _U(size)
+    # swizzled 32x32-px tile id space (render/raster.py swizzle_pid)
+    wt = -(-width // 32)
+    ht = -(-height // 32)
+    sent = _U(wt * ht * 1024)
     n = lodn_ref[0, 0, 0]
     t00, t01, t02 = frame_ref[0], frame_ref[1], frame_ref[2]
     t10, t11, t12 = frame_ref[3], frame_ref[4], frame_ref[5]
@@ -117,7 +120,8 @@ def _project_kernel(
     px = ((ndc_x * 0.5 + 0.5) * width).astype(_I)
     py = ((ndc_y * 0.5 + 0.5) * height).astype(_I)
     ok &= (px >= 0) & (px < width) & (py >= 0) & (py < height)
-    pid = jnp.where(ok, (px + py * width).astype(_U), sent)
+    swz = (((py >> 5) * wt + (px >> 5)) << 10) | ((py & 31) << 5) | (px & 31)
+    pid = jnp.where(ok, swz.astype(_U), sent)
     d = jax.lax.bitcast_convert_type(w, _U)
     p = _bc1_payload(colors_ref, iota_i, points)
 
@@ -146,19 +150,67 @@ def _project_kernel(
     prev = pltpu.roll(pid.reshape(points * G, LANES), shift=G, axis=0)
     prev = jnp.where(iota_i == 0, sent, prev.reshape(points, G, LANES))
     head = pid != prev
-    pid_ref[0] = jnp.where(head, pid, sent)
+    pid_out = jnp.where(head, pid, sent)
+    pid_ref[0] = pid_out
     dep_ref[0] = d
     pay_ref[0] = p
+
+    if chain_collapse:
+        # Chain-level collapse on the i=0 slice: Morton-adjacent chains
+        # often start on the same pixel when batches project small
+        # (zoomed out / heavy overdraw), leaving one surviving head per
+        # CHAIN after the within-chain ladder.  Fold those heads across
+        # chains c -> c+2^j (c = g*128+l) — the full 10-step ladder
+        # covers all 1024 chains, so the retire rule below is exact: a
+        # retired (i=0, c) entry's min was folded into (i=0, c-1) or an
+        # earlier surviving chain head.  ~120 vector ops per batch.
+        pid0, d0, p0 = pid[0], d[0], p[0]  # (G, 128)
+        c_iota = (
+            jax.lax.broadcasted_iota(_I, (G, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(_I, (G, LANES), 1)
+        )
+
+        def cshift(a, k, fill):
+            """out[c] = a[c+k] (c = g*128+l row-major), tail -> fill."""
+            if k % LANES == 0:
+                r = pltpu.roll(a, shift=G - (k // LANES), axis=0)
+            else:
+                t1 = pltpu.roll(a, shift=LANES - k, axis=1)
+                t2 = pltpu.roll(t1, shift=G - 1, axis=0)
+                lcol = jax.lax.broadcasted_iota(_I, (G, LANES), 1)
+                r = jnp.where(lcol < LANES - k, t1, t2)
+            return jnp.where(c_iota < G * LANES - k, r, fill)
+
+        k = 1
+        while k < G * LANES:
+            pid_s = cshift(pid0, k, sent)
+            d_s = cshift(d0, k, _U(0))
+            p_s = cshift(p0, k, _U(0))
+            valid = pid_s == pid0
+            less = (d_s < d0) | ((d_s == d0) & (p_s < p0))
+            take = valid & less
+            d0 = jnp.where(take, d_s, d0)
+            p0 = jnp.where(take, p_s, p0)
+            k *= 2
+        t1 = pltpu.roll(pid0, shift=1, axis=1)  # [g,l] = pid0[g, l-1]
+        t2 = pltpu.roll(t1, shift=1, axis=0)  # l==0 col: from g-1, l=127
+        lcol = jax.lax.broadcasted_iota(_I, (G, LANES), 1)
+        prevc = jnp.where(c_iota == 0, sent, jnp.where(lcol > 0, t1, t2))
+        chead = pid0 != prevc
+        pid_ref[0, 0] = jnp.where(chead, pid0, sent)
+        dep_ref[0, 0] = d0
+        pay_ref[0, 0] = p0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "points", "steps", "interpret"),
+    static_argnames=("width", "height", "points", "steps", "chain_collapse",
+                     "interpret"),
 )
 def project_batches(
     coords, colors_k, anchors, tbc, lodn, frame,
     width: int, height: int, points: int = P, steps: int = 6,
-    interpret: bool = False,
+    chain_collapse: bool = True, interpret: bool = False,
 ):
     """Fused projection for a chunk of decoded batches.
 
@@ -167,13 +219,15 @@ def project_batches(
     anchors (C, 3) i32, tbc (C, 4) f32 folded translations,
     lodn (C,) i32 decoded points/chain, frame (12,) f32 scalars
     (wvp rows 0/1/3 by columns 0..2, then scale xyz).
-    Returns (pid, dep, pay), each (C, points, G, 128) u32 — pid carries
-    the OOB sentinel width*height for clipped/masked/collapsed entries.
+    Returns (pid, dep, pay), each (C, points, G, 128) u32 — pid is in
+    the SWIZZLED 32x32-px tile id space (raster.swizzle_pid) and
+    carries the OOB sentinel swizzle_dims(w,h)[2] for clipped/masked/
+    collapsed entries.
     """
     C = coords.shape[0]
     kern = functools.partial(
         _project_kernel, width=width, height=height, points=points,
-        steps=steps,
+        steps=steps, chain_collapse=chain_collapse,
     )
     out_shape = jax.ShapeDtypeStruct((C, points, G, LANES), _U)
     outs = pl.pallas_call(

@@ -24,6 +24,37 @@ import jax.numpy as jnp
 EMPTY = jnp.uint32(0xFFFFFFFF)
 BACKGROUND = jnp.uint32(0x00443322)  # resolve.cu:166
 
+# Swizzled pixel-id space: the flagship resolve works in units of
+# 32x32-px screen tiles (1024 px = one merge-kernel window unit) instead
+# of linear y*W+x ids.  Linear ids make a resolve "tile" (1024
+# consecutive ids) half a scanline, so a Morton-compact point cluster
+# covering a WxH screen region touches ~H strip-tiles; square tiles cut
+# the merge kernel's window count ~3-8x (experiments/r3_windows.py) and
+# make per-stream spans compact enough for segmented sorts.
+TILE_PX = 32  # tile edge; TILE_PX**2 == pallas_merge.TILE
+
+
+def swizzle_dims(width: int, height: int):
+    """-> (tiles_x, tiles_y, swizzled id space size)."""
+    wt = -(-width // TILE_PX)
+    ht = -(-height // TILE_PX)
+    return wt, ht, wt * ht * TILE_PX * TILE_PX
+
+
+def swizzle_pid(px, py, width: int):
+    """Pixel coords -> swizzled id ((ty*wt+tx)<<10 | ly<<5 | lx)."""
+    wt = -(-width // TILE_PX)
+    return (
+        (((py >> 5) * wt + (px >> 5)) << 10) | ((py & 31) << 5) | (px & 31)
+    )
+
+
+def unswizzle_plane(fb, width: int, height: int):
+    """Swizzled (wt*ht*1024,) plane -> linear (height*width,) plane."""
+    wt, ht, _ = swizzle_dims(width, height)
+    img = fb.reshape(ht, wt, TILE_PX, TILE_PX).transpose(0, 2, 1, 3)
+    return img.reshape(ht * TILE_PX, wt * TILE_PX)[:height, :width].reshape(-1)
+
 
 def project(positions, transform):
     """positions (N,3) f32, transform (4,4) f32 -> clip (N,4).

@@ -266,3 +266,44 @@ def test_group_streams_edges():
     # inclusive boundary: 3 parts at budget 168 = exactly 3*56
     g = group_streams([mk(8 * TILE)] * 3, ntp, budget=168)
     assert [len(x) for x in g] == [3]
+
+
+# ------------------- v3: equal-width sorted rows (streams) -------------------
+
+
+@pytest.mark.parametrize("rows,oob", [(4, 0.4), (16, 0.0), (8, 0.9)])
+def test_merge_rows_matches_scatter(rows, oob):
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_rows
+
+    pid, dep, pay = _mk(16 * 1024, seed=rows, oob_frac=oob)
+    ref_d, ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
+    n = pid.shape[0] // rows
+    sp, sd, sy = jax.lax.sort(
+        [pid.reshape(rows, n), dep.reshape(rows, n), pay.reshape(rows, n)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    got_d, got_p = dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_merge_rows_grouped_equals_single(monkeypatch):
+    """SMEM grouping (small budget) must not change any winner."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+
+    pid, dep, pay = _mk(32 * 1024, seed=77, oob_frac=0.3)
+    rows, n = 16, (32 * 1024) // 16
+    sp, sd, sy = jax.lax.sort(
+        [pid.reshape(rows, n), dep.reshape(rows, n), pay.reshape(rows, n)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    ref_d, ref_p = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                             interpret=True)
+    pm.dense_from_sorted_rows.clear_cache()
+    monkeypatch.setattr(pm, "_SMEM_WORD_BUDGET", 200)
+    got_d, got_p = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                             interpret=True)
+    pm.dense_from_sorted_rows.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))

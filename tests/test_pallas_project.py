@@ -25,9 +25,11 @@ from pcrhpg24_tpu.render.camera import Camera, OrbitControls, batch_translations
 from pcrhpg24_tpu.render.methods.huffman_tpu import render_chunk_native
 from pcrhpg24_tpu.render.pallas_decode_fixed import pack_fixed_batches
 from pcrhpg24_tpu.render.pallas_project import colors_kernel_layout
+from pcrhpg24_tpu.render.raster import swizzle_dims
 from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
 
 W, H = 320, 180
+SWZ = swizzle_dims(W, H)[2]  # the stream sentinel id space
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +60,8 @@ def scene(tmp_path_factory):
     return dev, anchors, scale, offset, las_min, hdr.num_batches
 
 
-def _run_both(dev, B, transform, tb, lod_n, scale_d, offset_rel, points=64):
+def _run_both(dev, B, transform, tb, lod_n, scale_d, offset_rel, points=64,
+              chain_collapse=False):
     kw = dict(width=W, height=H, mode="color", points=points, fmt="fixed",
               tb=tb, nbatches=B)
     xla = render_chunk_native(
@@ -66,9 +69,20 @@ def _run_both(dev, B, transform, tb, lod_n, scale_d, offset_rel, points=64):
         use_pallas=False, **kw)
     kern = render_chunk_native(
         dev, 0, transform, lod_n, scale_d, offset_rel,
-        use_pallas=True, interpret=True, **kw)
+        use_pallas=True, interpret=True, chain_collapse=chain_collapse, **kw)
     return [np.asarray(a).astype(np.uint32) for a in xla], \
         [np.asarray(a).astype(np.uint32) for a in kern]
+
+
+def _winners(pid, dep, pay):
+    """Exact per-pixel u64 (depth<<32|payload) min over a stream."""
+    live = pid < SWZ
+    key = (dep.astype(np.uint64) << np.uint64(32)) | pay.astype(np.uint64)
+    best = {}
+    for p, k in zip(pid[live], key[live]):
+        if p not in best or k < best[p]:
+            best[p] = k
+    return best
 
 
 def test_project_kernel_exact_arithmetic(scene):
@@ -88,7 +102,7 @@ def test_project_kernel_exact_arithmetic(scene):
         dev, B, jnp.asarray(t), jnp.asarray(tb), lod_n, scale_d, offset_rel)
     np.testing.assert_array_equal(pk, px)
     np.testing.assert_array_equal(dk, dx)
-    live = px < W * H
+    live = px < SWZ
     np.testing.assert_array_equal(yk[live], yx[live])
     assert live.sum() > 10_000
 
@@ -110,6 +124,24 @@ def test_project_kernel_lod_exact(scene):
     np.testing.assert_array_equal(dk, dx)
 
 
+def test_chain_collapse_preserves_winners(scene):
+    """chain_collapse retires duplicate chain heads but keeps exact
+    per-pixel u64-min winners (any collapse partition preserves mins)."""
+    dev, anchors, scale, offset, las_min, B = scene
+    t = np.zeros((4, 4), np.float32)
+    t[0, 0] = t[1, 1] = t[3, 2] = 2.0 ** -19
+    tb = np.zeros((B, 4), np.float32)
+    tb[:, 3] = 2.0
+    lod_n = jnp.full((B,), 64, jnp.int32)
+    scale_d = jnp.ones((3,), jnp.float32)
+    offset_rel = jnp.zeros((3,), jnp.float32)
+    (px, dx, yx), (pk, dk, yk) = _run_both(
+        dev, B, jnp.asarray(t), jnp.asarray(tb), lod_n, scale_d, offset_rel,
+        chain_collapse=True)
+    assert (pk < SWZ).sum() <= (px < SWZ).sum()
+    assert _winners(pk, dk, yk) == _winners(px, dx, yx)
+
+
 def test_project_kernel_real_frame_close(scene):
     """Real orbit camera: ulp-tolerant (XLA-CPU FMA contraction)."""
     dev, anchors, scale, offset, las_min, B = scene
@@ -127,8 +159,8 @@ def test_project_kernel_real_frame_close(scene):
     (px, dx, yx), (pk, dk, yk) = _run_both(
         dev, B, jnp.asarray(wvp.astype(np.float32)), jnp.asarray(tb),
         lod_n, scale_d, offset_rel)
-    both = (px < W * H) & (pk < W * H)
-    either = (px < W * H) | (pk < W * H)
+    both = (px < SWZ) & (pk < SWZ)
+    either = (px < SWZ) | (pk < SWZ)
     assert either.sum() > 10_000
     # boundary flips (clip/pixel-edge crossings from 1-ulp w) are rare
     flips = (either & ~both) | (both & (px != pk))
