@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -639,62 +640,114 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
 
 def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
                       ilp: bool):
+    """One kernel invocation over S equal-width sorted rows.
+
+    The window table is built GATHER-FREE: per-window scatter/gather
+    over the static S*T pair grid costs ~5 ns/slot on TPU (72 ms at
+    128x2040, experiments/r3_rows_profile.py), so the flat expansion
+    runs as a sort-merge instead — pair records and window slots merge
+    by start position (one small sort), an associative max-by-key scan
+    forward-fills each window with its owning pair's record, and a
+    second small sort pulls windows back into flat order.  Everything
+    else is elementwise on the (S, T) grid.
+    """
     S, n = sp2d.shape
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
     rowstride = n // LANES
     nrows = S * rowstride
-    bounds = jnp.arange(ntiles_pad + 1, dtype=jnp.uint32) * TILE
 
-    starts = jax.vmap(
-        lambda a: jnp.searchsorted(a, bounds).astype(jnp.int32)
-    )(sp2d)  # (S, T+1)
-    s0, s1 = starts[:, :-1], starts[:, 1:]
+    # Per-(stream, tile) entry counts via an MXU one-hot histogram:
+    # tile = hi*F + lo, counts[s,hi,lo] = sum_k 1[hi_k==hi]*1[lo_k==lo]
+    # — one batched bf16 matmul (0/1 products, f32 accumulation: exact
+    # for counts < 2^24).  searchsorted here costs 19-40 ms at S=128
+    # (gather- or scatter-based); the matmul is bandwidth-bound on the
+    # one-hot operands only.
+    F = int(np.ceil(np.sqrt(ntiles_pad + 1)))
+    tile = jnp.minimum(sp2d >> 10, jnp.uint32(ntiles_pad)).astype(jnp.int32)
+    hi = tile // F
+    lo = tile - hi * F
+    A = (hi[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
+        jnp.bfloat16)
+    Bm = (lo[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
+        jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        A, Bm, ((( 1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32).reshape(S, F * F)[:, :ntiles_pad]
+    # padding/sentinel tiles hold no pixels: no windows for them
+    counts = jnp.where(
+        jnp.arange(ntiles_pad)[None, :] < ntiles, counts, 0
+    )
+    s1 = jnp.cumsum(counts, axis=1, dtype=jnp.int32)
+    s0 = s1 - counts
     first_row_local = s0 // LANES
     span = s1 - first_row_local * LANES
     nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)  # (S, T)
     first_row = first_row_local + (
         jnp.arange(S, dtype=jnp.int32) * rowstride
     )[:, None]
-    stream_end = (jnp.arange(S, dtype=jnp.int32) + 1) * rowstride
 
-    nwin_tot = nwin.sum(axis=0, dtype=jnp.int32)  # (T,)
     wide = ILP_WIDE if ilp else 1
-    wmax = S * ntiles_pad + S * (n // TILE)
-    if wide > 1:
-        psum = nwin_tot.reshape(nprog, TPS).sum(axis=1)
-        pad = (-psum) % wide
-        nwin_tot = nwin_tot + jnp.zeros(
-            (nprog, TPS), jnp.int32
-        ).at[:, TPS - 1].set(pad).reshape(ntiles_pad)
-        wmax += nprog * (wide - 1)
-    assert rowstride * S < (1 << (31 - TPS_BITS)), "scene too large"
+    wmax = S * ntiles_pad + S * (n // TILE) + nprog * (wide - 1)
+    M = ntiles_pad * S  # pair grid, tile-major: m = t*S + s
+    assert nrows < (1 << 29 - TPS_BITS), "group too large"
 
-    cumwin = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(nwin_tot, dtype=jnp.int32)]
-    )
+    cnt = jnp.transpose(nwin).reshape(M)
+    fr = jnp.transpose(first_row).reshape(M)
+    if wide > 1:
+        # pad each program's window count to a multiple of `wide`; the
+        # extra windows attach to the program's LAST pair (idempotent
+        # re-reads / sentinel rows — exact either way)
+        psum = cnt.reshape(nprog, TPS * S).sum(axis=1)
+        pad = (-psum) % wide
+        cnt = cnt.reshape(nprog, TPS * S).at[:, -1].add(pad).reshape(M)
+    cumc = jnp.cumsum(cnt, dtype=jnp.int32)
+    ex = cumc - cnt  # pair m owns windows [ex, ex+cnt)
+    cumwin = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(cnt.reshape(ntiles_pad, S).sum(axis=1),
+                   dtype=jnp.int32),
+    ])
+
+    # merge pair marks (key 2*ex) with window slots (key 2*g+1): after
+    # the ascending sort, each window slot is preceded by its owning
+    # pair — the LAST pair with ex <= g, found by a max-by-m scan
     gidx = jnp.arange(wmax, dtype=jnp.int32)
-    wtile = jnp.clip(
-        jnp.searchsorted(cumwin, gidx, side="right").astype(jnp.int32) - 1,
-        0, ntiles_pad - 1,
+    m_iota = jnp.arange(M, dtype=jnp.int32)
+    keys = jnp.concatenate([ex * 2, gidx * 2 + 1])
+    mval = jnp.concatenate([m_iota, jnp.full(wmax, -1, jnp.int32)])
+    fval = jnp.concatenate([
+        (fr << 2) | (m_iota // S & (TPS - 1)), jnp.zeros(wmax, jnp.int32)
+    ])
+    eval_ = jnp.concatenate([ex, jnp.zeros(wmax, jnp.int32)])
+    kind = jnp.concatenate([
+        jnp.full(M, wmax, jnp.int32), gidx  # pairs sort to the tail later
+    ])
+    sk, sm, sf, se, skind = jax.lax.sort(
+        [keys, mval, fval, eval_, kind], num_keys=1, is_stable=False
     )
-    wloc = gidx - jnp.take(cumwin, wtile)
-    # stream bases within each tile's window list (stream-major order)
-    base = jnp.concatenate(
-        [jnp.zeros((1, ntiles_pad), jnp.int32),
-         jnp.cumsum(nwin, axis=0, dtype=jnp.int32)]
-    )  # (S+1, T)
-    base_rows = base.T[wtile]  # (wmax, S+1)
-    sid = jnp.sum(base_rows <= wloc[:, None], axis=1).astype(jnp.int32) - 1
-    sidc = jnp.clip(sid, 0, S - 1)
-    local = wloc - jnp.take_along_axis(
-        base_rows, sidc[:, None], axis=1
-    )[:, 0]
-    row = first_row[sidc, wtile] + local * SUBS
-    row = jnp.minimum(row, jnp.take(stream_end, sidc) - SUBS)
-    row = jnp.where(sid >= S, nrows - SUBS, row)  # ILP pad dummies
-    wrowtile = (row << TPS_BITS) | (wtile & (TPS - 1))
+
+    def fill(a, b):
+        am, af, ae = a
+        bm, bf, be = b
+        take = bm >= am
+        return (jnp.where(take, bm, am), jnp.where(take, bf, af),
+                jnp.where(take, be, ae))
+
+    fm, ff, fe = jax.lax.associative_scan(fill, (sm, sf, se))
+    # second sort: windows (kind = g) to the front in flat order
+    _k2, wm, wf, we = jax.lax.sort(
+        [skind, fm, ff, fe], num_keys=1, is_stable=False
+    )
+    wm, wf, we = wm[:wmax], wf[:wmax], we[:wmax]
+    k = gidx - we
+    row = (wf >> 2) + k * SUBS
+    # clamp: stream boundaries are multiples of rowstride (m = t*S + s)
+    send = (jax.lax.rem(wm, S) + 1) * rowstride
+    row = jnp.minimum(jnp.maximum(row, 0), send - SUBS)
+    wrowtile = (row << TPS_BITS) | (wf & (TPS - 1))
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
