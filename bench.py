@@ -205,6 +205,12 @@ def main() -> int:
             ts[k] = time.perf_counter() - t0
         dt = (ts[1 + FRAMES] - ts[1]) / FRAMES
 
+        # BENCH_TRACE=dir: capture a device trace of the timed chain
+        # (per-kernel attribution for the frame's phases)
+        if os.environ.get("BENCH_TRACE"):
+            with jax.profiler.trace(os.environ["BENCH_TRACE"]):
+                float(chain(las.dev, fpd, scale, offset_rel, k=1 + FRAMES))
+
     pts_per_sec = pts_per_frame / dt
     result = {
         "metric": "fused huffman decode+rasterize @1920x1080",

@@ -135,6 +135,11 @@ def main(argv=None):
     ap.add_argument("--show-bounding-box", action="store_true")
     ap.add_argument("--list-methods", action="store_true")
     ap.add_argument("--stats", action="store_true", help="print timing report")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "rendered frames into DIR (open with xprof/"
+                         "tensorboard; the GLTimerQueries equivalent "
+                         "with per-kernel attribution)")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="interactive localhost viewer instead of offscreen frames")
     args = ap.parse_args(argv)
@@ -181,7 +186,17 @@ def main(argv=None):
         method.las.wait_loaded(renderer)
     elif hasattr(method, "potree"):
         method.potree.wait_loaded(renderer)
-    renderer.loop(method.update, method.render, frames=args.frames)
+    if args.trace:
+        import jax
+
+        # warm frame first so the trace holds steady-state kernels,
+        # not compilation
+        renderer.loop(method.update, method.render, frames=1)
+        with jax.profiler.trace(args.trace):
+            renderer.loop(method.update, method.render, frames=args.frames)
+        print(f"wrote device trace to {args.trace}")
+    else:
+        renderer.loop(method.update, method.render, frames=args.frames)
 
     if args.screenshot:
         renderer.save_screenshot(args.screenshot)

@@ -64,10 +64,12 @@ def render_chunk_native(
             _slice_rows(dev["starts"], chunk_start, C),
             points=points, **dkw,
         )
-        if use_pallas and mode == "color" and tb is not None:
+        if use_pallas and mode in ("color", "hqs") and tb is not None:
             # fused projection+BC1+collapse kernel: one pass instead of
             # the multi-materialization XLA stage below (bit-identical,
-            # experiments/r3_div_parity.py + the bench resolve gate)
+            # experiments/r3_div_parity.py + the bench resolve gate).
+            # mode "hqs" keeps every point (no run collapse): the blend
+            # pass sums ALL tolerance-passing points per pixel.
             from ..pallas_project import project_batches
 
             t = transform.astype(jnp.float32)
@@ -80,7 +82,7 @@ def render_chunk_native(
                 _slice_rows(tb, chunk_start, C),
                 _slice_rows(lod_n, chunk_start, C).astype(jnp.int32),
                 frame12, width, height, points=points, interpret=interpret,
-                chain_collapse=chain_collapse,
+                chain_collapse=chain_collapse, collapse=(mode == "color"),
             )
             return pid.reshape(-1), dep.reshape(-1), pay.reshape(-1)
     else:

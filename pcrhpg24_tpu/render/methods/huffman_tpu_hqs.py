@@ -1,9 +1,18 @@
 """`huffman_tpu_hqs` — HQS over the native format with Pallas decode.
 
 Same three-pass semantics as `huffman_hqs` (reference:
-modules/huffman_hqs/) on the tbatch pipeline: depth prepass + 1%-depth-
-tolerance average blend + divide resolve, both passes decoding through
-the Pallas kernel.
+modules/huffman_hqs/: depth prepass + 1%-depth-tolerance average blend
++ divide resolve, huffman_hqs.h:198-259) on the flagship pipeline —
+with one structural improvement the reference's atomics can't express:
+the point stream is decoded, projected, and pid-sorted ONCE, and the
+sorted rows feed BOTH the min-depth merge (prepass) and the
+suffix-sum blend kernel.  The reference decodes everything twice
+(depth.cu then render.cu); here the second decode+project+sort is
+replaced by one extra kernel pass over the already-sorted stream.
+
+The two stages remain SEPARATE jit programs: one fused HQS graph is
+~2x the color frame's and exceeded the compile service's request-size
+limit at 100M points (experiments/NOTES.md).
 """
 
 from __future__ import annotations
@@ -14,76 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import POINTS_PER_THREAD
 from ...engine.debug import Debug
-from ..bc1_layout import bc1_payload_native
-from ..native_decode_xla import decode_fixed_xla, decode_native_xla
-from ..pallas_decode import decode_native_batches
-from ..pallas_decode_fixed import decode_fixed_batches
-from ..raster import EMPTY
-from .huffman_mem_iter import _slice_rows
-from .huffman_tpu import CHUNK, HuffmanTpu
+from ..raster import EMPTY, swizzle_dims, unswizzle_plane
+from .huffman_tpu import CHUNK, SORT_ROWS, HuffmanTpu, render_chunk_native
 
 
-def _project_native(dev, chunk_start, transform, lod_n, scale, offset_rel,
-                    width, height, use_pallas, fmt="tbatch", tb=None):
-    if fmt == "fixed":
-        decode = decode_fixed_batches if use_pallas else decode_fixed_xla
-        coords = decode(
-            _slice_rows(dev["widths"], chunk_start, CHUNK),
-            _slice_rows(dev["streams"], chunk_start, CHUNK),
-            _slice_rows(dev["ptrs"], chunk_start, CHUNK),
-            _slice_rows(dev["starts"], chunk_start, CHUNK),
-        )
-    else:
-        decode = decode_native_batches if use_pallas else decode_native_xla
-        coords = decode(
-            _slice_rows(dev["lj"], chunk_start, CHUNK),
-            _slice_rows(dev["streams"], chunk_start, CHUNK),
-            _slice_rows(dev["ptrs"], chunk_start, CHUNK),
-            _slice_rows(dev["dD"], chunk_start, CHUNK),
-            _slice_rows(dev["lut"], chunk_start, CHUNK),
-            _slice_rows(dev["starts"], chunk_start, CHUNK),
-        )
-    colors = _slice_rows(dev["colors"], chunk_start, CHUNK)
-    n_chunk = _slice_rows(lod_n, chunk_start, CHUNK)
-
-    t = transform.astype(jnp.float32)
-    if tb is not None:
-        anchor = _slice_rows(dev["anchor"], chunk_start, CHUNK)
-        tbc = _slice_rows(tb, chunk_start, CHUNK)
-        bc = lambda a: a[:, None, None, None]
-        xs = (coords[:, :, 0] - bc(anchor[:, 0])).astype(jnp.float32) * scale[0]
-        ys = (coords[:, :, 1] - bc(anchor[:, 1])).astype(jnp.float32) * scale[1]
-        zs = (coords[:, :, 2] - bc(anchor[:, 2])).astype(jnp.float32) * scale[2]
-        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + bc(tbc[:, 0])
-        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + bc(tbc[:, 1])
-        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + bc(tbc[:, 3])
-    else:
-        xs = coords[:, :, 0].astype(jnp.float32) * scale[0] + offset_rel[0]
-        ys = coords[:, :, 1].astype(jnp.float32) * scale[1] + offset_rel[1]
-        zs = coords[:, :, 2].astype(jnp.float32) * scale[2] + offset_rel[2]
-        cx = t[0, 0] * xs + t[0, 1] * ys + t[0, 2] * zs + t[0, 3]
-        cy = t[1, 0] * xs + t[1, 1] * ys + t[1, 2] * zs + t[1, 3]
-        w = t[3, 0] * xs + t[3, 1] * ys + t[3, 2] * zs + t[3, 3]
-    inv = 1.0 / w  # reciprocal-multiply, matching the Pallas paths
-    ndc_x, ndc_y = cx * inv, cy * inv
-    shp = xs.shape
-    pt_idx = jnp.arange(POINTS_PER_THREAD, dtype=jnp.int32)
-    mask = jnp.broadcast_to(
-        pt_idx[None, :, None, None] < n_chunk[:, None, None, None], shp
-    )
-    ok = mask & (w > 0) & (jnp.abs(ndc_x) <= 1) & (jnp.abs(ndc_y) <= 1)
-    sx = ((ndc_x * 0.5 + 0.5) * width).astype(jnp.int32)
-    sy = ((ndc_y * 0.5 + 0.5) * height).astype(jnp.int32)
-    ok &= (sx >= 0) & (sx < width) & (sy >= 0) & (sy < height)
-    size = width * height
-    pid = jnp.where(ok, sx + sy * width, size).reshape(-1)
-    rgba = bc1_payload_native(colors, shp).astype(jnp.uint32).reshape(-1)
-    return pid, w.reshape(-1), rgba, ok.reshape(-1)
-
-
-def _hqs_frame_setup(dev, frame_params, width, height, cull):
+def _hqs_frame_setup(dev, frame_params, width, height, cull, points):
     from ..camera import frame_setup_device
 
     view = frame_params[0:16].reshape(4, 4)
@@ -92,154 +37,151 @@ def _hqs_frame_setup(dev, frame_params, width, height, cull):
         frame_params[23].astype(jnp.int32), width, height,
         frame_params[22], cull,
     )
+    # clamp to the static decode bucket (see render_frame_native)
+    lod_n = jnp.minimum(lod_n, points)
     return lod_n, frame_params[24:40].reshape(4, 4)
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
-                     "fmt"),
+                     "fmt", "points"),
 )
 def hqs_prepass_native(dev, frame_params, scale, offset_rel,
                        width: int, height: int, nchunks: int,
                        use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                       tb=None):
-    """HQS stage 1: dense per-pixel min-depth plane.
+                       tb=None, points: int = 64):
+    """HQS stage 1: decode+project+sort every chunk ONCE.
 
-    Stages 1 and 2 are SEPARATE jit programs on purpose: one fused HQS
-    graph is ~2x the color frame's and exceeds the compile service's
-    request-size limit at 100M points; each half is the size of the
-    color frame, which compiles at every measured scale.
+    Returns (fb_depth, streams): fb_depth is the dense per-pixel
+    min-depth plane in the SWIZZLED pid space (reference: depth.cu's
+    u32 atomicMin prepass), and streams = (sps, sds, sys) are the
+    pid-sorted rows that stage 2 re-uses for the tolerance blend — the
+    sort-once-use-twice structure.  On the CPU/XLA fallback streams is
+    None and fb_depth comes from a scatter-min.
     """
     lod_n, transform = _hqs_frame_setup(dev, frame_params, width, height,
-                                        cull)
-    size = width * height
+                                        cull, points)
+    _wt, _ht, size = swizzle_dims(width, height)
 
-    # depth prepass: per-pixel min depth.  On TPU: per-chunk 1-key sorts
-    # + the scatter-free multi-stream merge kernel (payload = the depth
-    # bits themselves, so the run min IS the min depth); scatter-min on
-    # CPU.  Per-chunk work rides in lax.scan so the HLO stays O(1) in
-    # scene size (an unrolled 24-chunk 100M frame exceeds what the
-    # compile service accepts).
     if use_pallas:
-        from ..pallas_merge import dense_from_sorted_nk1_multi
+        from ..pallas_merge import dense_from_sorted_rows
 
         def prep_body(carry, c):
-            pid, w, _rgba, _ok = _project_native(
+            pid, dep, pay = render_chunk_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt, tb,
+                width, height, "hqs", use_pallas, points, fmt, tb,
             )
-            depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
-            sp, sd = jax.lax.sort([pid.astype(jnp.uint32), depth],
-                                  num_keys=1, is_stable=False)
-            return carry, (sp, sd)
+            n = pid.shape[0] // SORT_ROWS
+            sp, sd, sy = jax.lax.sort(
+                [pid.reshape(SORT_ROWS, n).astype(jnp.uint32),
+                 dep.reshape(SORT_ROWS, n), pay.reshape(SORT_ROWS, n)],
+                num_keys=1, is_stable=False, dimension=1,
+            )
+            return carry, (sp, sd, sy)
 
-        _c, (sps, sds) = jax.lax.scan(
+        _c, (sps, sds, sys_) = jax.lax.scan(
             prep_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
         )
-        # payload = the depth bits themselves
-        _none, fb_depth = dense_from_sorted_nk1_multi(
-            [(sps[c], sds[c], sds[c]) for c in range(nchunks)], size, False
+        nseg = sps.shape[-1]
+        sps = sps.reshape(-1, nseg)
+        sds = sds.reshape(-1, nseg)
+        sys_ = sys_.reshape(-1, nseg)
+        # the u64 (depth<<32|payload) min's depth plane IS the min depth
+        fb_depth, _fb_p = dense_from_sorted_rows(
+            sps, sds, sys_, size, need_depth=True,
         )
-    else:
-        prepass = []
-        for c in range(nchunks):
-            pid, w, _rgba, _ok = _project_native(
-                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt, tb,
-            )
-            depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
-            prepass.append((pid, depth))
-        cat = lambda xs: jnp.concatenate(xs) if nchunks > 1 else xs[0]
-        pid_all = cat([p for p, _ in prepass])
-        dep_all = cat([d for _, d in prepass])
-        fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
-        fb_depth = fb_depth.at[pid_all].min(dep_all, mode="drop")
-    return fb_depth
+        return fb_depth, (sps, sds, sys_)
+
+    fb_depth = jnp.full((size,), EMPTY, jnp.uint32)
+    for c in range(nchunks):
+        pid, dep, _pay = render_chunk_native(
+            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+            width, height, "hqs", use_pallas, points, fmt, tb,
+        )
+        fb_depth = fb_depth.at[pid.astype(jnp.int32)].min(dep, mode="drop")
+    return fb_depth, None
 
 
 @partial(
     jax.jit,
     static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
-                     "fmt"),
+                     "fmt", "points"),
 )
 def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
-                     width: int, height: int, nchunks: int,
+                     streams, width: int, height: int, nchunks: int,
                      use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                     tb=None):
-    """HQS stage 2: tolerance-gated (r,g,b,count) sums + divide resolve."""
-    lod_n, transform = _hqs_frame_setup(dev, frame_params, width, height,
-                                        cull)
-    size = width * height
+                     tb=None, points: int = 64):
+    """HQS stage 2: tolerance-gated (r,g,b,count) sums + divide resolve.
+
+    On the Pallas path `streams` carries stage 1's sorted rows, so this
+    stage is ONE kernel pass (segmented suffix-sums with the in-kernel
+    depth-tolerance test, the reference's two i64 atomicAdds —
+    huffman_hqs/render.cu:311-313) plus the divide.
+    """
+    _wt, _ht, size = swizzle_dims(width, height)
     if use_pallas:
-        # scatter-free accumulation: per-chunk nk1 sorts + the segmented
-        # suffix-sum merge kernel with the in-kernel tolerance test (the
-        # reference's two i64 atomicAdds, huffman_hqs/render.cu:311-313;
-        # XLA scatter-add would cost ~4.8 ns/slot)
-        from ..pallas_hqs import hqs_sums_from_sorted_multi
+        from ..pallas_hqs import hqs_sums_from_rows
 
-        def blend_body(carry, c):
-            pid, w, rgba, _ok = _project_native(
-                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt, tb,
-            )
-            sp, sd, sy = jax.lax.sort(
-                [pid.astype(jnp.uint32),
-                 jax.lax.bitcast_convert_type(w, jnp.uint32), rgba],
-                num_keys=1, is_stable=False,
-            )
-            return carry, (sp, sd, sy)
-
-        _c, (bps, bds, bys) = jax.lax.scan(
-            blend_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
-        )
-        acc_r, acc_g, acc_b, acc_n = hqs_sums_from_sorted_multi(
-            [(bps[c], bds[c], bys[c]) for c in range(nchunks)],
-            fb_depth, size
+        sps, sds, sys_ = streams
+        acc_r, acc_g, acc_b, acc_n = hqs_sums_from_rows(
+            sps, sds, sys_, fb_depth, size
         )
     else:
+        lod_n, transform = _hqs_frame_setup(dev, frame_params, width,
+                                            height, cull, points)
         acc_r = jnp.zeros((size,), jnp.uint32)
         acc_g = jnp.zeros((size,), jnp.uint32)
         acc_b = jnp.zeros((size,), jnp.uint32)
         acc_n = jnp.zeros((size,), jnp.uint32)
         for c in range(nchunks):
-            pid, w, rgba, ok = _project_native(
+            pid, dep, rgba = render_chunk_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, use_pallas, fmt, tb,
+                width, height, "hqs", use_pallas, points, fmt, tb,
             )
+            pid = pid.astype(jnp.int32)
+            w = jax.lax.bitcast_convert_type(dep, jnp.float32)
             old = jax.lax.bitcast_convert_type(
                 fb_depth[jnp.clip(pid, 0, size - 1)], jnp.float32
             )
-            keep = ok & (w <= old * 1.01)
+            keep = (pid < size) & (w <= old * 1.01)
             pid2 = jnp.where(keep, pid, size)
             acc_r = acc_r.at[pid2].add(rgba & 0xFF, mode="drop")
             acc_g = acc_g.at[pid2].add((rgba >> 8) & 0xFF, mode="drop")
             acc_b = acc_b.at[pid2].add((rgba >> 16) & 0xFF, mode="drop")
             acc_n = acc_n.at[pid2].add(jnp.uint32(1), mode="drop")
 
+    # back to linear pixel space for the resolve + all external consumers
+    acc_r = unswizzle_plane(acc_r, width, height)
+    acc_g = unswizzle_plane(acc_g, width, height)
+    acc_b = unswizzle_plane(acc_b, width, height)
+    acc_n = unswizzle_plane(acc_n, width, height)
     cnt = jnp.maximum(acc_n, 1)
     color = (acc_r // cnt) | ((acc_g // cnt) << 8) | ((acc_b // cnt) << 16)
-    img = jnp.where(acc_n > 0, color, jnp.uint32(0x00443322)).reshape(height, width)
+    img = jnp.where(acc_n > 0, color, jnp.uint32(0x00443322)).reshape(
+        height, width
+    )
     return acc_n, img
 
 
 def hqs_frame_native(dev, frame_params, scale, offset_rel,
                      width: int, height: int, nchunks: int,
                      use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                     tb=None):
+                     tb=None, points: int = 64):
     """Full HQS frame = prepass + blend, dispatched as TWO jit programs
     (deliberately not jitted itself — see hqs_prepass_native; wrapping
     this in an outer jit would re-inline both into one oversized graph).
+    Returns (fb_depth, acc_n, img) with fb_depth in LINEAR pixel space.
     """
-    fb_depth = hqs_prepass_native(
+    fb_depth, streams = hqs_prepass_native(
         dev, frame_params, scale, offset_rel, width, height, nchunks,
-        use_pallas, cull, fmt, tb,
+        use_pallas, cull, fmt, tb, points,
     )
     acc_n, img = hqs_blend_native(
-        dev, frame_params, scale, offset_rel, fb_depth, width, height,
-        nchunks, use_pallas, cull, fmt, tb,
+        dev, frame_params, scale, offset_rel, fb_depth, streams, width,
+        height, nchunks, use_pallas, cull, fmt, tb, points,
     )
-    return fb_depth, acc_n, img
+    return unswizzle_plane(fb_depth, width, height), acc_n, img
 
 
 class HuffmanTpuHqs(HuffmanTpu):
@@ -268,6 +210,9 @@ class HuffmanTpuHqs(HuffmanTpu):
         fp[22] = Debug.lod
         fp[23] = float(B)
         fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+        _, lod_full = self.frame_setup(renderer)
+        max_lod = int(lod_full.max()) if B else 64
+        points = max(16, -(-max_lod // 16) * 16)
         from ..camera import batch_translations
 
         tb = jnp.asarray(batch_translations(
@@ -280,6 +225,7 @@ class HuffmanTpuHqs(HuffmanTpu):
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
             "fixed" if getattr(las, "version", 1) == 2 else "tbatch", tb,
+            points,
         )
         renderer.last_fb = (fb_depth, acc_n)
         return img

@@ -190,6 +190,79 @@ def hqs_sums_from_sorted(spid, sdep, spay, fb_depth, size: int,
 
 
 @partial(jax.jit, static_argnames=("size", "interpret"))
+def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
+                       interpret: bool = False):
+    """(S, n) pid-sorted rows + dense fb_depth -> (r, g, b, n) u32 planes.
+
+    Rows variant of hqs_sums_from_sorted_multi built on the gather-free
+    window-table expansion (pallas_merge.build_rows_window_table with a
+    3-bit reread field): each row is an independently pid-ascending
+    stream whose per-pixel sums ADD across rows.  `fb_depth` must be in
+    the same (swizzled) pid space as the streams.  Rows process in
+    groups sized to the SMEM table budget; group planes add exactly.
+    """
+    from .pallas_merge import _SMEM_WORD_BUDGET, build_rows_window_table
+
+    S, n = sp2d.shape
+    assert n % TILE == 0, n
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+    words_per_stream = ntiles_pad + n // TILE
+    smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
+    acc = None
+    for g0 in range(0, S, smax):
+        planes = _hqs_rows_group(
+            sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
+            fb_depth, size, interpret,
+        )
+        acc = planes if acc is None else tuple(
+            a + p for a, p in zip(acc, planes)
+        )
+    return acc
+
+
+def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool):
+    from .pallas_merge import build_rows_window_table
+
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+    cumwin, wrowtile, nrows, nprog = build_rows_window_table(
+        sp2d, size, wide=1, reread_bits=3
+    )
+
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint32), jnp.int32
+    ).reshape(-1, LANES)
+    fbd = jnp.pad(
+        jax.lax.bitcast_convert_type(fb_depth, jnp.int32),
+        (0, ntiles_pad * TILE - size),
+        constant_values=-1,
+    ).reshape(ntiles_pad * SUBS, LANES)
+    kern = partial(_hqs_sum_kernel, nrows=nrows)
+    outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
+    outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
+    win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nprog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        + [pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))],
+        out_specs=[outspec] * 4,
+        out_shape=[outshape] * 4,
+        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+        interpret=interpret,
+    )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
+
+    tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
+        ntiles_pad * TILE
+    )[:size]
+    return tuple(tou32(o) for o in outs)
+
+
+@partial(jax.jit, static_argnames=("size", "interpret"))
 def hqs_sums_from_sorted_multi(parts, fb_depth, size: int,
                                interpret: bool = False):
     """Per-chunk nk1 pid-sorted (pid, depthbits, rgba) streams + dense

@@ -638,18 +638,25 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
     return (fbd if need_depth else None), fbp
 
 
-def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
-                      ilp: bool):
-    """One kernel invocation over S equal-width sorted rows.
+def build_rows_window_table(sp2d, size: int, wide: int,
+                            reread_bits: int = 0):
+    """Gather-free flat window table over S equal-width sorted rows.
 
-    The window table is built GATHER-FREE: per-window scatter/gather
-    over the static S*T pair grid costs ~5 ns/slot on TPU (72 ms at
-    128x2040, experiments/r3_rows_profile.py), so the flat expansion
-    runs as a sort-merge instead — pair records and window slots merge
-    by start position (one small sort), an associative max-by-key scan
+    The table is built WITHOUT per-window gathers: scatter/gather over
+    the static S*T pair grid costs ~5 ns/slot on TPU (72 ms at 128x2040,
+    experiments/r3_rows_profile.py), so the flat expansion runs as a
+    sort-merge instead — pair records and window slots merge by start
+    position (one small sort), an associative max-by-key scan
     forward-fills each window with its owning pair's record, and a
     second small sort pulls windows back into flat order.  Everything
     else is elementwise on the (S, T) grid.
+
+    Returns (cumwin, wrowtile, nrows, nprog) where wrowtile packs, per
+    window, `row << (TPS_BITS + reread_bits) | reread << TPS_BITS |
+    local_tile`.  reread_bits=0 (the min-merge kernels: clamp re-reads
+    are idempotent) omits the field; reread_bits=3 (the HQS sum kernel)
+    records how many leading rows of a clamped window were already
+    covered by the previous window, so sums can drop them.
     """
     S, n = sp2d.shape
     ntiles = -(-size // TILE)
@@ -689,10 +696,9 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
         jnp.arange(S, dtype=jnp.int32) * rowstride
     )[:, None]
 
-    wide = ILP_WIDE if ilp else 1
     wmax = S * ntiles_pad + S * (n // TILE) + nprog * (wide - 1)
     M = ntiles_pad * S  # pair grid, tile-major: m = t*S + s
-    assert nrows < (1 << 29 - TPS_BITS), "group too large"
+    assert nrows < (1 << (29 - TPS_BITS - reread_bits)), "group too large"
 
     cnt = jnp.transpose(nwin).reshape(M)
     fr = jnp.transpose(first_row).reshape(M)
@@ -746,8 +752,29 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
     row = (wf >> 2) + k * SUBS
     # clamp: stream boundaries are multiples of rowstride (m = t*S + s)
     send = (jax.lax.rem(wm, S) + 1) * rowstride
-    row = jnp.minimum(jnp.maximum(row, 0), send - SUBS)
-    wrowtile = (row << TPS_BITS) | (wf & (TPS - 1))
+    rowc = jnp.minimum(jnp.maximum(row, 0), send - SUBS)
+    if reread_bits:
+        reread = jnp.clip(row - rowc, 0, (1 << reread_bits) - 1)
+        wrowtile = (
+            (rowc << (TPS_BITS + reread_bits)) | (reread << TPS_BITS)
+            | (wf & (TPS - 1))
+        )
+    else:
+        wrowtile = (rowc << TPS_BITS) | (wf & (TPS - 1))
+    return cumwin, wrowtile, nrows, nprog
+
+
+def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
+                      ilp: bool):
+    """One merge-kernel invocation over S equal-width sorted rows."""
+    S, n = sp2d.shape
+    ntiles = -(-size // TILE)
+    nprog = -(-ntiles // TPS)
+    ntiles_pad = nprog * TPS
+    wide = ILP_WIDE if ilp else 1
+    cumwin, wrowtile, nrows, nprog = build_rows_window_table(
+        sp2d, size, wide
+    )
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32

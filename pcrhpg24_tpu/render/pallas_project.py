@@ -91,7 +91,7 @@ def _project_kernel(
     dep_ref,  # VMEM (1, points, G, 128) u32 out
     pay_ref,  # VMEM (1, points, G, 128) u32 out
     *, width: int, height: int, points: int, steps: int,
-    chain_collapse: bool,
+    chain_collapse: bool, collapse: bool,
 ):
     # swizzled 32x32-px tile id space (render/raster.py swizzle_pid)
     wt = -(-width // 32)
@@ -124,6 +124,14 @@ def _project_kernel(
     pid = jnp.where(ok, swz.astype(_U), sent)
     d = jax.lax.bitcast_convert_type(w, _U)
     p = _bc1_payload(colors_ref, iota_i, points)
+
+    if not collapse:
+        # HQS blend streams: every surviving point contributes to the
+        # per-pixel sums, so no run collapse and no head retirement
+        pid_ref[0] = pid
+        dep_ref[0] = d
+        pay_ref[0] = p
+        return
 
     # within-chain run collapse (exact same semantics as the XLA path in
     # render_chunk_native: shifted compares along the point axis, pad ->
@@ -205,12 +213,13 @@ def _project_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "points", "steps", "chain_collapse",
-                     "interpret"),
+                     "collapse", "interpret"),
 )
 def project_batches(
     coords, colors_k, anchors, tbc, lodn, frame,
     width: int, height: int, points: int = P, steps: int = 6,
-    chain_collapse: bool = True, interpret: bool = False,
+    chain_collapse: bool = True, collapse: bool = True,
+    interpret: bool = False,
 ):
     """Fused projection for a chunk of decoded batches.
 
@@ -227,7 +236,8 @@ def project_batches(
     C = coords.shape[0]
     kern = functools.partial(
         _project_kernel, width=width, height=height, points=points,
-        steps=steps, chain_collapse=chain_collapse,
+        steps=steps, chain_collapse=chain_collapse and collapse,
+        collapse=collapse,
     )
     out_shape = jax.ShapeDtypeStruct((C, points, G, LANES), _U)
     outs = pl.pallas_call(

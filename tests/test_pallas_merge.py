@@ -307,3 +307,74 @@ def test_merge_rows_grouped_equals_single(monkeypatch):
     pm.dense_from_sorted_rows.clear_cache()
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_hqs_sums_from_rows_matches_scatter_add():
+    """Rows variant of the HQS suffix-sum kernel == direct per-pixel
+    accumulation with the reference tolerance gate (render.cu:296) —
+    including stream-end clamp re-reads (short last rows) and heavy
+    single-pixel runs spanning windows."""
+    from pcrhpg24_tpu.render.pallas_hqs import hqs_sums_from_rows
+
+    rng = np.random.default_rng(21)
+    rows, n = 12, 4096
+    pid = rng.integers(0, SIZE, rows * n).astype(np.uint32)
+    pid[rng.random(rows * n) < 0.3] = SIZE
+    pid[:6000] = 777  # giant run crossing window borders in row 0
+    w = (rng.random(rows * n).astype(np.float32) * 100 + 1)
+    dep = w.view(np.uint32)
+    rgba = rng.integers(0, 2**24, rows * n, dtype=np.uint64).astype(np.uint32)
+
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    np.minimum.at(fbd, pid[pid < SIZE], dep[pid < SIZE])
+    old = fbd.view(np.float32)
+    accs = np.zeros((4, SIZE), np.uint64)
+    keep = (pid < SIZE) & (w <= old[np.minimum(pid, SIZE - 1)] * np.float32(1.01))
+    for a, c in zip(accs, (rgba & 0xFF, (rgba >> 8) & 0xFF,
+                           (rgba >> 16) & 0xFF, np.ones_like(rgba))):
+        np.add.at(a, pid[keep], c[keep].astype(np.uint64))
+
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid.reshape(rows, n)),
+         jnp.asarray(dep.reshape(rows, n)),
+         jnp.asarray(rgba.reshape(rows, n))],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    got = hqs_sums_from_rows(sp, sd, sy, jnp.asarray(fbd), SIZE,
+                             interpret=True)
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), accs[k].astype(np.uint32)
+        )
+
+
+def test_hqs_sums_from_rows_grouped_equals_single(monkeypatch):
+    """SMEM grouping must not change any HQS sum."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+    from pcrhpg24_tpu.render import pallas_hqs as ph
+
+    rng = np.random.default_rng(23)
+    rows, n = 8, 4096
+    pid = rng.integers(0, SIZE, rows * n).astype(np.uint32)
+    pid[rng.random(rows * n) < 0.2] = SIZE
+    w = (rng.random(rows * n).astype(np.float32) * 50 + 1)
+    dep = w.view(np.uint32)
+    rgba = rng.integers(0, 2**24, rows * n, dtype=np.uint64).astype(np.uint32)
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    np.minimum.at(fbd, pid[pid < SIZE], dep[pid < SIZE])
+
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid.reshape(rows, n)),
+         jnp.asarray(dep.reshape(rows, n)),
+         jnp.asarray(rgba.reshape(rows, n))],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    ref = ph.hqs_sums_from_rows(sp, sd, sy, jnp.asarray(fbd), SIZE,
+                                interpret=True)
+    ph.hqs_sums_from_rows.clear_cache()
+    monkeypatch.setattr(pm, "_SMEM_WORD_BUDGET", 200)
+    got = ph.hqs_sums_from_rows(sp, sd, sy, jnp.asarray(fbd), SIZE,
+                                interpret=True)
+    ph.hqs_sums_from_rows.clear_cache()
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
