@@ -111,9 +111,20 @@ def main() -> int:
             print(json.dumps({"error": "TPU decode bit-exactness gate FAILED"}))
             return 1
     r = Renderer(W, H)
-    r.apply_setting(
-        Setting(yaw=0.5, pitch=-0.9, radius=2500.0, target=(1000.0, 1000.0, 100.0))
-    )
+    # camera presets (reference analogue: the settings table,
+    # src/main.cpp:66-213): the headline rides the default orbit; the
+    # close-up (few run collapses, many windows/tile) and the oblique
+    # overdraw view guard against the headline silently depending on
+    # one friendly viewpoint's Morton coherence.
+    VIEWS = {
+        "orbit": Setting(yaw=0.5, pitch=-0.9, radius=2500.0,
+                         target=(1000.0, 1000.0, 100.0)),
+        "closeup": Setting(yaw=2.4, pitch=-0.25, radius=180.0,
+                           target=(1000.0, 1000.0, 60.0)),
+        "oblique": Setting(yaw=-1.1, pitch=-0.08, radius=1400.0,
+                           target=(1000.0, 1000.0, 40.0)),
+    }
+    r.apply_setting(VIEWS["orbit"])
     m = MethodCls(r, las)
     m.update(r)
     las.wait_loaded(r)
@@ -140,76 +151,136 @@ def main() -> int:
     wall_dt = (time.perf_counter() - t0) / FRAMES
 
     dt = wall_dt
+    views_out = {}
     if BENCH_METHOD == "native":
         import functools
         import jax.numpy as jnp
         from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
 
         scale, offset_rel = las._dev_consts
-        cam = r.camera
-        fp = np.zeros(40, np.float32)
-        fp[0:16] = cam.view().astype(np.float32).reshape(-1)
-        fp[16:22] = cam.proj_params().astype(np.float32)
-        fp[22] = 1.0
-        fp[23] = float(las.num_batches_loaded)
-        fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
-        fpd = jnp.asarray(fp)
         from pcrhpg24_tpu.render.camera import batch_translations
 
-        tbd = jnp.asarray(batch_translations(
-            (cam.proj() @ cam.view()),
-            las.anchor_i[: las.dev["anchor"].shape[0]],
-            las.scale, las.offset, las.las_min,
-        ))
+        def frame_inputs():
+            cam = r.camera
+            fp = np.zeros(40, np.float32)
+            fp[0:16] = cam.view().astype(np.float32).reshape(-1)
+            fp[16:22] = cam.proj_params().astype(np.float32)
+            fp[22] = 1.0
+            fp[23] = float(las.num_batches_loaded)
+            fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+            tb = batch_translations(
+                (cam.proj() @ cam.view()),
+                las.anchor_i[: las.dev["anchor"].shape[0]],
+                las.scale, las.offset, las.las_min,
+            )
+            return jnp.asarray(fp), jnp.asarray(tb)
+
         kw = dict(width=W, height=H, mode="color",
                   nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
                   cull=True, need_depth=False,
                   fmt="fixed" if getattr(las, "version", 1) == 2 else "tbatch")
 
-        # resolve gate: the Pallas merge image must equal the XLA
-        # scatter path's bit-for-bit (the decode gate above covers the
-        # decode kernel; this covers collapse + per-chunk sorts + the
-        # merge kernel).  Skipped at scale sizes where the scatter
-        # fallback would dominate the run.
-        if las.num_batches_loaded <= 256:
-            _d1, _p1, img1 = render_frame_native(
-                las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
-            _d2, _p2, img2 = render_frame_native(
-                las.dev, fpd, scale, offset_rel, tb=tbd,
-                **dict(kw, use_pallas=False))
-            if not np.array_equal(np.asarray(img1), np.asarray(img2)):
-                print(json.dumps(
-                    {"error": "TPU resolve bit-exactness gate FAILED"}))
-                return 1
-
         @functools.partial(jax.jit, static_argnames=("k",))
-        def chain(dev, fp, scale, offset_rel, k):
+        def chain(dev, fp, tb, scale, offset_rel, k):
             acc = jnp.uint32(0)
             fp0 = fp
             for _ in range(k):
                 _fd, _fp2, img = render_frame_native(
-                    dev, fp0, scale, offset_rel, tb=tbd, **kw)
+                    dev, fp0, scale, offset_rel, tb=tb, **kw)
                 probe = img[0, 0]
                 tok = jnp.where(probe == jnp.uint32(123456789), 1.0, 0.0)
                 fp0 = fp + tok.astype(jnp.float32)
                 acc += probe
             return acc
 
-        ts = {}
-        for k in (1, 1 + FRAMES):
-            o = chain(las.dev, fpd, scale, offset_rel, k=k)
-            float(o)
-            t0 = time.perf_counter()
-            o = chain(las.dev, fpd, scale, offset_rel, k=k)
-            float(o)
-            ts[k] = time.perf_counter() - t0
-        dt = (ts[1 + FRAMES] - ts[1]) / FRAMES
+        for name, setting in VIEWS.items():
+            r.apply_setting(setting)
+            r.controls_update()
+            fpd, tbd = frame_inputs()
+            _, lodv = m.frame_setup(r)
+            view_pts = int(lodv.astype(np.int64).sum() * 1024)
 
-        # BENCH_TRACE=dir: capture a device trace of the timed chain
-        # (per-kernel attribution for the frame's phases)
-        if os.environ.get("BENCH_TRACE"):
-            with jax.profiler.trace(os.environ["BENCH_TRACE"]):
-                float(chain(las.dev, fpd, scale, offset_rel, k=1 + FRAMES))
+            # resolve gate: the Pallas merge image must equal the XLA
+            # scatter path's bit-for-bit, PER VIEW (the decode gate
+            # above covers the decode kernel; this covers collapse +
+            # per-chunk sorts + window tables + the merge kernel).
+            if las.num_batches_loaded <= 256:
+                _d1, _p1, img1 = render_frame_native(
+                    las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
+                _d2, _p2, img2 = render_frame_native(
+                    las.dev, fpd, scale, offset_rel, tb=tbd,
+                    **dict(kw, use_pallas=False))
+                if not np.array_equal(np.asarray(img1), np.asarray(img2)):
+                    print(json.dumps({"error": (
+                        "TPU resolve bit-exactness gate FAILED "
+                        f"(view {name})")}))
+                    return 1
+            elif name == "orbit":
+                # at scale the full scatter fallback would dominate the
+                # run; spot-check ONE chunk's streams through the merge
+                # kernel against the scatter path instead
+                from pcrhpg24_tpu.render.methods.huffman_tpu import (
+                    CHUNK, SORT_ROWS, render_chunk_native,
+                )
+                from pcrhpg24_tpu.render.pallas_merge import (
+                    dense_from_sorted_rows,
+                )
+                from pcrhpg24_tpu.render.raster import (
+                    sorted_resolve_u64_min, swizzle_dims,
+                )
+                from pcrhpg24_tpu.render.camera import frame_setup_device
+
+                lod_n = frame_setup_device(
+                    fpd[0:16].reshape(4, 4), fpd[16:22],
+                    las.dev["bbox_min"], las.dev["bbox_max"],
+                    fpd[23].astype(jnp.int32), W, H, fpd[22], True,
+                )
+                pid, dep, pay = render_chunk_native(
+                    las.dev, 0, fpd[24:40].reshape(4, 4), lod_n, scale,
+                    offset_rel, W, H, "color", True, 64, kw["fmt"], tbd,
+                )
+                n1 = pid.shape[0] // SORT_ROWS
+                sp_, sd_, sy_ = jax.lax.sort(
+                    [pid.reshape(SORT_ROWS, n1).astype(jnp.uint32),
+                     dep.reshape(SORT_ROWS, n1), pay.reshape(SORT_ROWS, n1)],
+                    num_keys=1, is_stable=False, dimension=1,
+                )
+                wt0, _ht0, size = swizzle_dims(W, H)
+                _gd, gp = dense_from_sorted_rows(sp_, sd_, sy_, size, False,
+                                                 tile_cols=wt0)
+                _rd, rp = sorted_resolve_u64_min(
+                    pid.astype(jnp.uint32), dep, pay, size, False,
+                    use_pallas=False,
+                )
+                if not np.array_equal(np.asarray(gp), np.asarray(rp)):
+                    print(json.dumps({"error": (
+                        "TPU resolve bit-exactness gate FAILED "
+                        "(scaled chunk-0 spot check)")}))
+                    return 1
+
+            ts = {}
+            for k in (1, 1 + FRAMES):
+                o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
+                float(o)
+                t0 = time.perf_counter()
+                o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
+                float(o)
+                ts[k] = time.perf_counter() - t0
+            dt_view = (ts[1 + FRAMES] - ts[1]) / FRAMES
+            views_out[name] = {
+                "device_frame_ms": round(dt_view * 1e3, 2),
+                "visible_points": view_pts,
+                "gpts_per_s": round(view_pts / dt_view / 1e9, 4),
+            }
+            if name == "orbit":
+                dt = dt_view
+
+            # BENCH_TRACE=dir: capture a device trace of the timed
+            # chain (per-kernel attribution for the frame's phases)
+            if name == "orbit" and os.environ.get("BENCH_TRACE"):
+                with jax.profiler.trace(os.environ["BENCH_TRACE"]):
+                    float(chain(las.dev, fpd, tbd, scale, offset_rel,
+                                k=1 + FRAMES))
 
     pts_per_sec = pts_per_frame / dt
     result = {
@@ -226,6 +297,8 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         },
     }
+    if views_out:
+        result["detail"]["views"] = views_out
 
     # scale-run ledger: non-default sizes (e.g. BENCH_BATCHES=1536 ==
     # 100M points) record their result into docs/scale_runs.json, and

@@ -94,10 +94,11 @@ def nwin_rowsum(a):
                      ).astype(jnp.int32)
     Fb = F
     onehot = lambda v: (
-        (v // Fb)[:, :, None] == jnp.arange(Fb, dtype=jnp.int32)
-    ).astype(jnp.bfloat16), (
-        (v % Fb)[:, :, None] == jnp.arange(Fb, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)
+        ((v // Fb)[:, :, None] == jnp.arange(Fb, dtype=jnp.int32)
+         ).astype(jnp.bfloat16),
+        ((v % Fb)[:, :, None] == jnp.arange(Fb, dtype=jnp.int32)
+         ).astype(jnp.bfloat16),
+    )
     def hist(v):
         A, Bm = onehot(v)
         h = jax.lax.dot_general(

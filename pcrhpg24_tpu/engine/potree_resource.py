@@ -25,7 +25,15 @@ BIN_POINTS = 1_000_000
 
 
 class PotreeData(Resource):
-    def __init__(self, path: str):
+    def __init__(self, path: str, budget_points: int | None = None):
+        """`budget_points` caps DEVICE residency: bins stream in
+        coarse-first order until the cap, finer nodes stay on disk.
+        This is how >HBM datasets render — the coarse-first order
+        guarantees the resident set is a valid LOD prefix (parents
+        before children), so the 80-px cut simply never reaches the
+        unresident fine levels.  (The reference's GPU analogue keeps a
+        fixed-size buffer and streams bins into it,
+        PotreeData.h:288-311, 575-605.)"""
         self.path = path
         self.meta = read_metadata(path)
         self.nodes = parse_hierarchy(path, self.meta)
@@ -45,12 +53,23 @@ class PotreeData(Resource):
             bins.append((cur_w, cur))
         bins.sort(key=lambda b: b[0])
         self.bins = [b[1] for b in bins]
+        self.resident_limited = False
+        if budget_points is not None:
+            kept, cum = [], 0
+            for bn in self.bins:
+                nb = sum(n.num_points for n in bn)
+                if kept and cum + nb > budget_points:
+                    break
+                kept.append(bn)
+                cum += nb
+            self.resident_limited = len(kept) < len(self.bins)
+            self.bins = kept
 
         # node table (render frame = world - bbox_min of the octree)
+        order = [n for bn in self.bins for n in bn]
+        self.nodes = order
         self.node_offset = np.zeros(len(self.nodes), np.int64)
         off = 0
-        order = [n for _w, bn in bins for n in bn]
-        self.nodes = order
         for i, nd in enumerate(order):
             self.node_offset[i] = off
             off += nd.num_points
@@ -71,8 +90,8 @@ class PotreeData(Resource):
         self._abort = threading.Event()
 
     @classmethod
-    def create(cls, path: str):
-        return cls(path)
+    def create(cls, path: str, budget_points: int | None = None):
+        return cls(path, budget_points)
 
     def load(self, renderer=None):
         if self.state != ResourceState.UNLOADED:

@@ -45,7 +45,8 @@ async function loop(){
     const r=await fetch(url());const b=await r.blob();
     img.src=URL.createObjectURL(b);
     st.textContent=r.headers.get("x-method")+" "+
-      (performance.now()-t0).toFixed(0)+" ms";busy=false;}
+      (performance.now()-t0).toFixed(0)+" ms";busy=false;
+    if(r.headers.get("x-stale")=="1")dirty=true;/* converge to pose */}
   requestAnimationFrame(loop);}
 img.onmousedown=e=>{dragging=true;lx=e.clientX;ly=e.clientY;};
 window.onmouseup=()=>dragging=false;
@@ -72,8 +73,19 @@ class ViewerServer:
         self.port = port
         self._lock = threading.Lock()
         self._httpd: HTTPServer | None = None
+        self._pending = None  # (key, device rgb8, method name)
 
-    def render_png(self, params: dict) -> tuple[bytes, str]:
+    def render_png(self, params: dict) -> tuple[bytes, str, bool]:
+        """One-frame-deep pipeline: dispatch THIS request's frame
+        asynchronously, then serve the PREVIOUS dispatch's (already
+        computing since the last request) — wall per frame while
+        interacting is max(device frame, fetch RTT) + encode instead of
+        their sum.  When parameters stop changing the pending frame
+        matches the request and is served fresh (stale=False); the page
+        re-fetches once whenever it got a stale frame, so the displayed
+        image converges to the final pose.  (The reference's GL loop
+        gets the same overlap from the driver's queued frames,
+        Renderer.cpp:239-766.)"""
         from ..engine.debug import Debug
         from ..render.raster import image_to_rgb8
         from ..utils.png import write_png_bytes
@@ -86,16 +98,23 @@ class ViewerServer:
         mi = int(params.get("method", ["0"])[0]) % len(self.methods)
         mode = params.get("mode", [""])[0]
         method = self.methods[mi]
+        key = (c.yaw, c.pitch, c.radius, mi, mode)
         with self._lock:
             old = (Debug.colorize_chunks, Debug.colorize_overdraw)
             Debug.colorize_chunks = mode == "chunks"
             Debug.colorize_overdraw = mode == "overdraw"
             try:
-                img = r.loop(method.update, method.render, frames=1)
-                rgb = np.asarray(image_to_rgb8(img))
+                img = r.loop(method.update, method.render, frames=1,
+                             block=False)
+                rgb_dev = image_to_rgb8(img)
             finally:
                 Debug.colorize_chunks, Debug.colorize_overdraw = old
-        return write_png_bytes(rgb), method.name
+            prev, self._pending = self._pending, (key, rgb_dev, method.name)
+            if prev is not None and prev[0] != key:
+                rgb, name, stale = np.asarray(prev[1]), prev[2], True
+            else:
+                rgb, name, stale = np.asarray(rgb_dev), method.name, False
+        return write_png_bytes(rgb, level=1), name, stale
 
     def serve_forever(self):
         viewer = self
@@ -119,9 +138,11 @@ class ViewerServer:
                         ctype = "application/json"
                         headers = {}
                     elif u.path == "/frame":
-                        body, name = viewer.render_png(parse_qs(u.query))
+                        body, name, stale = viewer.render_png(
+                            parse_qs(u.query))
                         ctype = "image/png"
-                        headers = {"x-method": name}
+                        headers = {"x-method": name,
+                                   "x-stale": "1" if stale else "0"}
                     else:
                         self.send_error(404)
                         return

@@ -267,7 +267,7 @@ def render_frame_native(
 
         fb_d, fb_p = dense_from_sorted_rows(
             sps.reshape(-1, nseg), sds.reshape(-1, nseg),
-            sys_.reshape(-1, nseg), size, need_depth,
+            sys_.reshape(-1, nseg), size, need_depth, tile_cols=_wt,
         )
     else:
         from ..raster import sorted_resolve_u64_min

@@ -89,7 +89,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
         sys_ = sys_.reshape(-1, nseg)
         # the u64 (depth<<32|payload) min's depth plane IS the min depth
         fb_depth, _fb_p = dense_from_sorted_rows(
-            sps, sds, sys_, size, need_depth=True,
+            sps, sds, sys_, size, need_depth=True, tile_cols=_wt,
         )
         return fb_depth, (sps, sds, sys_)
 
@@ -125,7 +125,7 @@ def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
 
         sps, sds, sys_ = streams
         acc_r, acc_g, acc_b, acc_n = hqs_sums_from_rows(
-            sps, sds, sys_, fb_depth, size
+            sps, sds, sys_, fb_depth, size, tile_cols=_wt
         )
     else:
         lod_n, transform = _hqs_frame_setup(dev, frame_params, width,

@@ -42,20 +42,22 @@ from .pallas_merge import (
 )
 
 
-def _suffix_sum_segmented(lpid, vals):
+def _suffix_sum_segmented(lpid, vals, steps: int = 10):
     """Segmented suffix-sums of each plane in `vals`; segments = lpid runs.
 
     Unlike the min-merge (where the circular-roll wrap is idempotent),
     sums must NOT wrap: a whole-window single run would double-count.
     Each step masks positions whose shifted partner wrapped past the
-    window end.
+    window end.  `steps` doubling steps complete runs up to 2**steps —
+    callers verify the bound on device (pallas_merge._runs_bounded) and
+    fall back to the full 10 via lax.cond.
     """
     flat = (
         jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
         + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
     )
     s = 1
-    while s < TILE:
+    while s < (1 << steps):
         rl = _flat_shift(lpid, s)
         valid = (rl == lpid) & (flat < TILE - s)
         vals = [
@@ -65,7 +67,8 @@ def _suffix_sum_segmented(lpid, vals):
     return vals
 
 
-def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
+def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                    suffix_steps: int = 10):
     (spid_hbm, sdep_hbm, spay_hbm, fbd_ref,
      outr_ref, outg_ref, outb_ref, outn_ref,
      wpid, wdep, wpay, sems) = rest
@@ -141,7 +144,8 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
         gg = jnp.where(keep, (pay >> 8) & 0xFF, 0)
         bb = jnp.where(keep, (pay >> 16) & 0xFF, 0)
         nn = keep.astype(jnp.int32)
-        rr, gg, bb, nn = _suffix_sum_segmented(lpid, [rr, gg, bb, nn])
+        rr, gg, bb, nn = _suffix_sum_segmented(lpid, [rr, gg, bb, nn],
+                                               suffix_steps)
 
         pidrows = _rows_of(lpid)
         pos = jnp.zeros((SUBS, LANES), jnp.int32)
@@ -189,9 +193,10 @@ def hqs_sums_from_sorted(spid, sdep, spay, fb_depth, size: int,
     )
 
 
-@partial(jax.jit, static_argnames=("size", "interpret"))
+@partial(jax.jit, static_argnames=("size", "interpret", "tile_cols"))
 def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       tile_cols: int | None = None):
     """(S, n) pid-sorted rows + dense fb_depth -> (r, g, b, n) u32 planes.
 
     Rows variant of hqs_sums_from_sorted_multi built on the gather-free
@@ -208,28 +213,42 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    words_per_stream = ntiles_pad + n // TILE
-    smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
-    acc = None
-    for g0 in range(0, S, smax):
-        planes = _hqs_rows_group(
-            sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
-            fb_depth, size, interpret,
+    from .pallas_merge import CLIP_TILES, _clip_fits, _runs_bounded
+
+    fast_ok = _runs_bounded(sp2d, size)
+
+    def render(clip):
+        words_per_stream = (ntiles_pad if clip is None else clip) + n // TILE
+        smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
+        acc = None
+        for g0 in range(0, S, smax):
+            planes = _hqs_rows_group(
+                sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
+                fb_depth, size, interpret, fast_ok, clip, tile_cols,
+            )
+            acc = planes if acc is None else tuple(
+                a + p for a, p in zip(acc, planes)
+            )
+        return acc
+
+    if CLIP_TILES < ntiles_pad:
+        return jax.lax.cond(
+            _clip_fits(sp2d, size, CLIP_TILES, tile_cols),
+            lambda: render(CLIP_TILES),
+            lambda: render(None),
         )
-        acc = planes if acc is None else tuple(
-            a + p for a, p in zip(acc, planes)
-        )
-    return acc
+    return render(None)
 
 
-def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool):
-    from .pallas_merge import build_rows_window_table
+def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
+                    fast_ok=None, clip=None, tile_cols=None):
+    from .pallas_merge import FAST_SUFFIX_STEPS, build_rows_window_table
 
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
     cumwin, wrowtile, nrows, nprog = build_rows_window_table(
-        sp2d, size, wide=1, reread_bits=3
+        sp2d, size, wide=1, reread_bits=3, clip=clip, tile_cols=tile_cols
     )
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
@@ -240,21 +259,32 @@ def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool):
         (0, ntiles_pad * TILE - size),
         constant_values=-1,
     ).reshape(ntiles_pad * SUBS, LANES)
-    kern = partial(_hqs_sum_kernel, nrows=nrows)
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
-    outs = pl.pallas_call(
-        kern,
-        grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))],
-        out_specs=[outspec] * 4,
-        out_shape=[outshape] * 4,
-        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
-        interpret=interpret,
-    )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
+
+    def call(steps):
+        kern = partial(_hqs_sum_kernel, nrows=nrows, suffix_steps=steps)
+        return pl.pallas_call(
+            kern,
+            grid=(nprog,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3
+            + [pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))],
+            out_specs=[outspec] * 4,
+            out_shape=[outshape] * 4,
+            scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+            interpret=interpret,
+        )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
+
+    if fast_ok is None:
+        outs = call(10)
+    else:
+        outs = jax.lax.cond(
+            fast_ok,
+            lambda: call(FAST_SUFFIX_STEPS),
+            lambda: call(10),
+        )
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE

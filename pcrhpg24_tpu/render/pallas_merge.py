@@ -187,15 +187,20 @@ def _flat_shift(x, s: int):
     return jnp.where(col < LANES - s, a, b)
 
 
-def _suffix_min_u64(lpid, d, p):
+def _suffix_min_u64(lpid, d, p, steps: int = 10):
     """Segmented suffix-min of (d,p) u64 keys; segments = runs of lpid.
 
     lpid ascending (8,128) row-major flat; i32 compares are safe: depth
     bits of w>0 points have sign bit 0, payloads are RGB<<0|..<= 2^24,
     and the EMPTY sentinel never appears inside a window.
+
+    `steps` doubling steps complete the suffix-min for runs up to
+    2**steps long; callers with a verified run bound pass fewer than the
+    full 10 (the bound is checked on device and falls back via lax.cond
+    — see dense_from_sorted_rows).
     """
     s = 1
-    while s < TILE:
+    while s < (1 << steps):
         rl = _flat_shift(lpid, s)
         rd = _flat_shift(d, s)
         rp = _flat_shift(p, s)
@@ -208,7 +213,8 @@ def _suffix_min_u64(lpid, d, p):
     return d, p
 
 
-def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
+def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                      suffix_steps: int = 10):
     (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
      wpid, wdep, wpay, sems) = rest
     prog = pl.program_id(0)
@@ -258,7 +264,8 @@ def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
             c.wait()
         lt = wrowtile_ref[g] & (TPS - 1)  # 0..TPS-1 local tile
         lpid = wpid[slot] - (t0 + lt) * TILE
-        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
+        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias,
+                                   suffix_steps)
 
         pidrows = _rows_of(lpid)
         pos = jnp.zeros((SUBS, LANES), jnp.int32)
@@ -295,7 +302,7 @@ def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
 
 
 def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
-                          wide: int = 2):
+                          wide: int = 2, suffix_steps: int = 10):
     """`wide`-windows-per-iteration variant of _merge_nk1_kernel.
 
     The v2 kernel's inner loop is latency-bound: the 10-probe binary
@@ -346,7 +353,8 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
             c.wait()
         lt = wrowtile_ref[g] & (TPS - 1)
         lpid = wpid[slot] - (t0 + lt) * TILE
-        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias)
+        dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias,
+                                   suffix_steps)
         pidrows = _rows_of(lpid)
         pos = jnp.zeros((SUBS, LANES), jnp.int32)
         for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
@@ -396,6 +404,22 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
 
 RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
 ILP_WIDE = 2  # windows per loop iteration in the ILP kernel
+# fast-path suffix-scan depth: 6 doubling steps complete runs <= 64.
+# Real frames stay far below (max run 20 on the bench view,
+# experiments/r3_incidence.py); a one-compare device check picks the
+# full 10-step kernel via lax.cond whenever the bound is exceeded.
+FAST_SUFFIX_STEPS = 6
+
+
+def _runs_bounded(sp2d, size: int):
+    """True iff no live pid repeats at distance 2**FAST_SUFFIX_STEPS
+    within any row — i.e. every same-pid run is short enough for the
+    fast suffix-scan kernels."""
+    K = 1 << FAST_SUFFIX_STEPS
+    if sp2d.shape[-1] <= K:
+        return jnp.bool_(True)
+    a, b = sp2d[..., K:], sp2d[..., :-K]
+    return ~jnp.any((a == b) & (a < jnp.uint32(size)))
 
 
 @partial(jax.jit, static_argnames=("size", "need_depth", "interpret"))
@@ -604,52 +628,118 @@ def _dense_nk1_group(parts, size: int, interpret: bool, ilp: bool = True):
 
 
 @partial(jax.jit,
-         static_argnames=("size", "need_depth", "interpret", "ilp"))
+         static_argnames=("size", "need_depth", "interpret", "ilp",
+                          "tile_cols"))
 def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
                            need_depth: bool = True,
-                           interpret: bool = False, ilp: bool = True):
+                           interpret: bool = False, ilp: bool = True,
+                           tile_cols: int | None = None):
     """(S, n) pid-sorted rows -> dense (fb_d, fb_p), EMPTY-filled.
 
     Each row is an independently pid-ascending stream (OOB sentinels at
     its tail); the kernel min-combines windows from all rows per tile —
     exact u64 (depth<<32|payload) winners.  Rows are processed in groups
     whose window tables fit the SMEM budget; group planes combine with
-    an exact elementwise u64-min.
+    an exact elementwise u64-min.  `tile_cols` (the swizzled grid's
+    tile-row width) enables the clipped 2D-box table build.
     """
     S, n = sp2d.shape
     assert n % TILE == 0, n
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    words_per_stream = ntiles_pad + n // TILE
-    smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
-    fbd = fbp = None
-    for g0 in range(0, S, smax):
-        d, p = _dense_rows_group(
-            sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
-            size, interpret, ilp,
+    fast_ok = _runs_bounded(sp2d, size)
+
+    def render(clip):
+        words_per_stream = (ntiles_pad if clip is None else clip) + n // TILE
+        smax = max(1, (_SMEM_WORD_BUDGET - nprog) // words_per_stream)
+        fbd = fbp = None
+        for g0 in range(0, S, smax):
+            d, p = _dense_rows_group(
+                sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
+                size, interpret, ilp, fast_ok, clip, tile_cols,
+            )
+            if fbd is None:
+                fbd, fbp = d, p
+            else:
+                less = (d < fbd) | ((d == fbd) & (p < fbp))
+                fbd = jnp.where(less, d, fbd)
+                fbp = jnp.where(less, p, fbp)
+        return fbd, fbp
+
+    if CLIP_TILES < ntiles_pad:
+        fbd, fbp = jax.lax.cond(
+            _clip_fits(sp2d, size, CLIP_TILES, tile_cols),
+            lambda: render(CLIP_TILES),
+            lambda: render(None),
         )
-        if fbd is None:
-            fbd, fbp = d, p
-        else:
-            less = (d < fbd) | ((d == fbd) & (p < fbp))
-            fbd = jnp.where(less, d, fbd)
-            fbp = jnp.where(less, p, fbp)
+    else:
+        fbd, fbp = render(None)
     return (fbd if need_depth else None), fbp
 
 
-def build_rows_window_table(sp2d, size: int, wide: int,
-                            reread_bits: int = 0):
-    """Gather-free flat window table over S equal-width sorted rows.
+# per-stream pair-grid clip (tiles).  Each sorted row is Morton-compact
+# on screen (2D tile-box areas p50=31, p100=775 across the bench views,
+# experiments/r3_build_v2.py) so its (stream, tile) pair grid clips to
+# a per-stream 2D box of <= CLIP tiles — shrinking every table-build
+# domain ~2-4x at 1080p (0.57 ms vs 7.7 full / 4.33 old sort-merge).
+# A one-reduce device check picks the full-grid build via lax.cond
+# when any stream's box is bigger.
+CLIP_TILES = 1024
 
-    The table is built WITHOUT per-window gathers: scatter/gather over
-    the static S*T pair grid costs ~5 ns/slot on TPU (72 ms at 128x2040,
-    experiments/r3_rows_profile.py), so the flat expansion runs as a
-    sort-merge instead — pair records and window slots merge by start
-    position (one small sort), an associative max-by-key scan
-    forward-fills each window with its owning pair's record, and a
-    second small sort pulls windows back into flat order.  Everything
-    else is elementwise on the (S, T) grid.
+
+def _tile_boxes(sp2d, size: int, tile_cols: int):
+    """Per-row live-tile bounding boxes in the 2D tile grid.
+
+    Tile ids are row-major over `tile_cols` columns (the swizzled pid
+    space, raster.swizzle_pid), so a screen-compact stream footprint is
+    compact as a 2D BOX, not as a 1D id range (a 10x10-tile square
+    spans ~9*wt+10 linear ids).  Returns (bx, by, cw, ch) i32 (S,)."""
+    ntiles = -(-size // TILE)
+    tile = jnp.minimum(sp2d >> 10, jnp.uint32(ntiles)).astype(jnp.int32)
+    live = tile < ntiles
+    tx = tile % tile_cols
+    ty = tile // tile_cols
+    big = jnp.int32(1 << 29)
+    bx = jnp.min(jnp.where(live, tx, big), axis=1)
+    by = jnp.min(jnp.where(live, ty, big), axis=1)
+    ex = jnp.max(jnp.where(live, tx, -1), axis=1)
+    ey = jnp.max(jnp.where(live, ty, -1), axis=1)
+    any_live = jnp.any(live, axis=1)
+    bx = jnp.where(any_live, bx, 0)
+    by = jnp.where(any_live, by, 0)
+    cw = jnp.where(any_live, ex - bx + 1, 1)
+    ch = jnp.where(any_live, ey - by + 1, 1)
+    return bx, by, cw, ch
+
+
+def _clip_fits(sp2d, size: int, clip: int, tile_cols: int | None = None):
+    """True iff every row's live-tile 2D box fits `clip` pairs."""
+    _bx, _by, cw, ch = _tile_boxes(sp2d, size, tile_cols or (-(-size // TILE)))
+    return jnp.max(cw * ch) <= clip
+
+
+def build_rows_window_table(sp2d, size: int, wide: int,
+                            reread_bits: int = 0, clip: int | None = None,
+                            tile_cols: int | None = None):
+    """Sort-free flat window table over S equal-width sorted rows.
+
+    Per-(stream, tile) pair counts come from an MXU one-hot histogram
+    (a searchsorted here costs 19-40 ms at S=128; the matmul is
+    bandwidth-bound on the one-hot operands only).  The flat expansion
+    pair->windows is SORT-FREE: window g's owning pair is the last pair
+    m with ex[m] <= g (ex = exclusive cumsum of per-pair window
+    counts), found by a scatter-max of m into slot ex[m] plus a cummax
+    forward-fill — then one gather pulls each window's pair record.
+    (The previous sort-merge expansion spent 3.4 ms in its second sort
+    at 128x2040, experiments/r3_build_parts.py.)
+
+    `clip` (CLIP_TILES) shrinks the pair grid to a per-stream window of
+    `clip` tiles anchored at the stream's first live tile — callers
+    verify every stream fits (_clip_fits) and lax.cond to the full grid
+    otherwise.  Clipped pairs carry their global tile and sort by it
+    (one small sort of S*clip records) so the flat window order stays
+    program-major.
 
     Returns (cumwin, wrowtile, nrows, nprog) where wrowtile packs, per
     window, `row << (TPS_BITS + reread_bits) | reread << TPS_BITS |
@@ -664,95 +754,139 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     ntiles_pad = nprog * TPS
     rowstride = n // LANES
     nrows = S * rowstride
+    assert nrows < (1 << (29 - TPS_BITS - reread_bits)), "group too large"
 
-    # Per-(stream, tile) entry counts via an MXU one-hot histogram:
-    # tile = hi*F + lo, counts[s,hi,lo] = sum_k 1[hi_k==hi]*1[lo_k==lo]
-    # — one batched bf16 matmul (0/1 products, f32 accumulation: exact
-    # for counts < 2^24).  searchsorted here costs 19-40 ms at S=128
-    # (gather- or scatter-based); the matmul is bandwidth-bound on the
-    # one-hot operands only.
-    F = int(np.ceil(np.sqrt(ntiles_pad + 1)))
-    tile = jnp.minimum(sp2d >> 10, jnp.uint32(ntiles_pad)).astype(jnp.int32)
-    hi = tile // F
-    lo = tile - hi * F
+    grid = ntiles_pad if clip is None else clip
+    F = int(np.ceil(np.sqrt(grid + 1)))
+    tile = jnp.minimum(sp2d >> 10, jnp.uint32(ntiles)).astype(jnp.int32)
+    if clip is None:
+        loc = tile  # sentinel/OOB entries land in bucket `ntiles`
+    else:
+        # per-stream 2D tile-box window: lt = (ty-by)*cw + (tx-bx).
+        # live tiles fall in [0, cw*ch) <= clip when the caller-verified
+        # fit holds; bucket `clip` collects sentinels (and any overflow
+        # if the caller skipped the check — wrong image, never unsafe)
+        wt_cols = tile_cols or ntiles
+        bx, by, cw, _ch = _tile_boxes(sp2d, size, wt_cols)
+        tx = tile % wt_cols
+        ty = tile // wt_cols
+        loc = (ty - by[:, None]) * cw[:, None] + (tx - bx[:, None])
+        loc = jnp.where(tile < ntiles, jnp.clip(loc, 0, clip), clip)
+    hi = loc // F
+    lo = loc - hi * F
     A = (hi[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
         jnp.bfloat16)
     Bm = (lo[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
         jnp.bfloat16)
     counts = jax.lax.dot_general(
-        A, Bm, ((( 1,), (1,)), ((0,), (0,))),
+        A, Bm, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32).reshape(S, F * F)[:, :ntiles_pad]
-    # padding/sentinel tiles hold no pixels: no windows for them
-    counts = jnp.where(
-        jnp.arange(ntiles_pad)[None, :] < ntiles, counts, 0
-    )
+    ).astype(jnp.int32).reshape(S, F * F)[:, :grid]
+    if clip is None:
+        # padding/sentinel tiles hold no pixels: no windows for them
+        counts = jnp.where(jnp.arange(grid)[None, :] < ntiles, counts, 0)
     s1 = jnp.cumsum(counts, axis=1, dtype=jnp.int32)
     s0 = s1 - counts
     first_row_local = s0 // LANES
     span = s1 - first_row_local * LANES
-    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)  # (S, T)
+    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)  # (S, grid)
     first_row = first_row_local + (
         jnp.arange(S, dtype=jnp.int32) * rowstride
     )[:, None]
 
-    wmax = S * ntiles_pad + S * (n // TILE) + nprog * (wide - 1)
-    M = ntiles_pad * S  # pair grid, tile-major: m = t*S + s
-    assert nrows < (1 << (29 - TPS_BITS - reread_bits)), "group too large"
+    wmax = S * grid + S * (n // TILE) + nprog * (wide - 1)
+    gidx = jnp.arange(wmax, dtype=jnp.int32)
 
-    cnt = jnp.transpose(nwin).reshape(M)
-    fr = jnp.transpose(first_row).reshape(M)
-    if wide > 1:
-        # pad each program's window count to a multiple of `wide`; the
-        # extra windows attach to the program's LAST pair (idempotent
-        # re-reads / sentinel rows — exact either way)
-        psum = cnt.reshape(nprog, TPS * S).sum(axis=1)
-        pad = (-psum) % wide
-        cnt = cnt.reshape(nprog, TPS * S).at[:, -1].add(pad).reshape(M)
+    if clip is None:
+        # full grid is naturally tile-major: m = t*S + s
+        M = grid * S
+        m_iota = jnp.arange(M, dtype=jnp.int32)
+        cnt = jnp.transpose(nwin).reshape(M)
+        fval = (jnp.transpose(first_row).reshape(M) << 2) | (
+            m_iota // S & (TPS - 1)
+        )
+        send = (jax.lax.rem(m_iota, S) + 1) * rowstride
+        if wide > 1:
+            # pad each program's window count to a multiple of `wide`;
+            # the extra windows attach to the program's LAST pair
+            # (idempotent re-reads — exact either way)
+            psum = cnt.reshape(nprog, TPS * S).sum(axis=1)
+            pad = (-psum) % wide
+            cnt = cnt.reshape(nprog, TPS * S).at[:, -1].add(pad).reshape(M)
+        cumwin = jnp.concatenate([
+            jnp.zeros(1, jnp.int32),
+            jnp.cumsum(cnt.reshape(grid, S).sum(axis=1), dtype=jnp.int32),
+        ])
+    else:
+        # clipped pairs carry global tiles; order them tile-major with
+        # one small sort.  nprog extra records implement the per-program
+        # ILP padding (they sort after every real pair of their tile).
+        lt_iota = jnp.arange(clip, dtype=jnp.int32)[None, :]
+        gtile = ((by[:, None] + lt_iota // cw[:, None]) * wt_cols
+                 + bx[:, None] + lt_iota % cw[:, None])
+        gtile = jnp.where(nwin > 0, gtile, ntiles_pad - 1)
+        # windows per global tile (weighted one-hot matmul; per-pair
+        # window counts stay < 256 so they are exact in bf16, and f32
+        # accumulation is exact below 2^24)
+        assert n // TILE + 1 < 256, "row width too large for bf16 weights"
+        F2 = int(np.ceil(np.sqrt(ntiles_pad)))
+        g2 = gtile.reshape(-1)
+        hi2 = (g2 // F2)[:, None] == jnp.arange(F2, dtype=jnp.int32)
+        lo2 = (g2 - (g2 // F2) * F2)[:, None] == jnp.arange(
+            F2, dtype=jnp.int32)
+        wt = jax.lax.dot_general(
+            hi2.astype(jnp.bfloat16) *
+            nwin.reshape(-1)[:, None].astype(jnp.bfloat16),
+            lo2.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(F2 * F2)[:ntiles_pad]
+        pad = jnp.zeros(nprog, jnp.int32)
+        if wide > 1:
+            psum = wt.reshape(nprog, TPS).sum(axis=1)
+            pad = (-psum) % wide
+            wt = wt.reshape(nprog, TPS).at[:, TPS - 1].add(pad).reshape(
+                ntiles_pad)
+        cumwin = jnp.concatenate([
+            jnp.zeros(1, jnp.int32), jnp.cumsum(wt, dtype=jnp.int32)
+        ])
+        sidx = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.int32)[:, None], (S, clip)
+        ).reshape(-1)
+        key = jnp.concatenate([
+            gtile.reshape(-1) * (S + 1) + sidx,
+            (jnp.arange(nprog, dtype=jnp.int32) * TPS + TPS - 1) * (S + 1)
+            + S,  # pad records: after every real pair of their tile
+        ])
+        cnt = jnp.concatenate([nwin.reshape(-1), pad])
+        fval = jnp.concatenate([
+            (first_row.reshape(-1) << 2) | (gtile.reshape(-1) & (TPS - 1)),
+            jnp.full(nprog, ((nrows - SUBS) << 2) | (TPS - 1), jnp.int32),
+        ])
+        send = jnp.concatenate([
+            (sidx + 1) * rowstride,
+            jnp.full(nprog, nrows, jnp.int32),
+        ])
+        _k, cnt, fval, send = jax.lax.sort(
+            [key, cnt, fval, send], num_keys=1, is_stable=False
+        )
+        M = cnt.shape[0]
+        m_iota = jnp.arange(M, dtype=jnp.int32)
+
     cumc = jnp.cumsum(cnt, dtype=jnp.int32)
     ex = cumc - cnt  # pair m owns windows [ex, ex+cnt)
-    cumwin = jnp.concatenate([
-        jnp.zeros(1, jnp.int32),
-        jnp.cumsum(cnt.reshape(ntiles_pad, S).sum(axis=1),
-                   dtype=jnp.int32),
-    ])
-
-    # merge pair marks (key 2*ex) with window slots (key 2*g+1): after
-    # the ascending sort, each window slot is preceded by its owning
-    # pair — the LAST pair with ex <= g, found by a max-by-m scan
-    gidx = jnp.arange(wmax, dtype=jnp.int32)
-    m_iota = jnp.arange(M, dtype=jnp.int32)
-    keys = jnp.concatenate([ex * 2, gidx * 2 + 1])
-    mval = jnp.concatenate([m_iota, jnp.full(wmax, -1, jnp.int32)])
-    fval = jnp.concatenate([
-        (fr << 2) | (m_iota // S & (TPS - 1)), jnp.zeros(wmax, jnp.int32)
-    ])
-    eval_ = jnp.concatenate([ex, jnp.zeros(wmax, jnp.int32)])
-    kind = jnp.concatenate([
-        jnp.full(M, wmax, jnp.int32), gidx  # pairs sort to the tail later
-    ])
-    sk, sm, sf, se, skind = jax.lax.sort(
-        [keys, mval, fval, eval_, kind], num_keys=1, is_stable=False
-    )
-
-    def fill(a, b):
-        am, af, ae = a
-        bm, bf, be = b
-        take = bm >= am
-        return (jnp.where(take, bm, am), jnp.where(take, bf, af),
-                jnp.where(take, be, ae))
-
-    fm, ff, fe = jax.lax.associative_scan(fill, (sm, sf, se))
-    # second sort: windows (kind = g) to the front in flat order
-    _k2, wm, wf, we = jax.lax.sort(
-        [skind, fm, ff, fe], num_keys=1, is_stable=False
-    )
-    wm, wf, we = wm[:wmax], wf[:wmax], we[:wmax]
-    k = gidx - we
-    row = (wf >> 2) + k * SUBS
-    # clamp: stream boundaries are multiples of rowstride (m = t*S + s)
-    send = (jax.lax.rem(wm, S) + 1) * rowstride
-    rowc = jnp.minimum(jnp.maximum(row, 0), send - SUBS)
+    # owner of window g = last pair with ex <= g: scatter m into slot
+    # ex[m] (max resolves shared slots — the real pair always sorts
+    # last in its ex-group since empty pairs don't advance cumc), then
+    # forward-fill with a cummax
+    own = jnp.zeros(wmax, jnp.int32).at[ex].max(m_iota, mode="drop")
+    own = jax.lax.cummax(own)
+    rec = jnp.take(jnp.stack([fval, ex, send]), own, axis=1)
+    wf, we, wsend = rec[0], rec[1], rec[2]
+    row = (wf >> 2) + (gidx - we) * SUBS
+    # clamp: a window never reads across its stream's end (entries
+    # there wouldn't be sorted relative to it)
+    rowc = jnp.minimum(jnp.maximum(row, 0), wsend - SUBS)
     if reread_bits:
         reread = jnp.clip(row - rowc, 0, (1 << reread_bits) - 1)
         wrowtile = (
@@ -765,37 +899,55 @@ def build_rows_window_table(sp2d, size: int, wide: int,
 
 
 def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
-                      ilp: bool):
-    """One merge-kernel invocation over S equal-width sorted rows."""
+                      ilp: bool, fast_ok=None, clip=None, tile_cols=None):
+    """One merge-kernel invocation over S equal-width sorted rows.
+
+    `fast_ok` (traced bool) selects the run-length-bounded suffix-scan
+    kernel via lax.cond; None always runs the full 10-step kernel.
+    `clip` selects the clipped pair-grid table build (caller-verified).
+    """
     S, n = sp2d.shape
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
     wide = ILP_WIDE if ilp else 1
     cumwin, wrowtile, nrows, nprog = build_rows_window_table(
-        sp2d, size, wide
+        sp2d, size, wide, clip=clip, tile_cols=tile_cols
     )
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     ).reshape(-1, LANES)
-    kern = partial(
-        _merge_nk1_kernel_ilp, nrows=nrows, wide=wide
-    ) if ilp else partial(_merge_nk1_kernel, nrows=nrows)
+    args = (cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d))
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
-    outs = pl.pallas_call(
-        kern,
-        grid=(nprog,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=[outspec] * 2,
-        out_shape=[outshape] * 2,
-        scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
-        interpret=interpret,
-    )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d))
-    outd, outp = outs
+
+    def call(steps):
+        kern = partial(
+            _merge_nk1_kernel_ilp, nrows=nrows, wide=wide,
+            suffix_steps=steps,
+        ) if ilp else partial(_merge_nk1_kernel, nrows=nrows,
+                              suffix_steps=steps)
+        return pl.pallas_call(
+            kern,
+            grid=(nprog,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+            + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=[outspec] * 2,
+            out_shape=[outshape] * 2,
+            scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
+            interpret=interpret,
+        )(*args)
+
+    if fast_ok is None:
+        outd, outp = call(10)
+    else:
+        outd, outp = jax.lax.cond(
+            fast_ok,
+            lambda: call(FAST_SUFFIX_STEPS),
+            lambda: call(10),
+        )
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE

@@ -10,12 +10,17 @@ import zlib
 import numpy as np
 
 
-def write_png_bytes(rgb: np.ndarray) -> bytes:
-    """rgb: (H, W, 3) u8 -> PNG file contents."""
+def write_png_bytes(rgb: np.ndarray, level: int = 6) -> bytes:
+    """rgb: (H, W, 3) u8 -> PNG file contents.
+
+    `level` is the zlib effort: 6 for screenshots on disk, 1 for the
+    interactive viewer (encode is on the frame's critical path there).
+    """
     h, w, _ = rgb.shape
-    raw = b"".join(
-        b"\x00" + rgb[i].astype(np.uint8).tobytes() for i in range(h)
-    )
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), np.ascontiguousarray(rgb).reshape(h, -1)],
+        axis=1,
+    ).tobytes()
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         c = struct.pack(">I", len(data)) + tag + data
@@ -25,7 +30,7 @@ def write_png_bytes(rgb: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 

@@ -98,13 +98,22 @@ def test_viewer_serves_frames(tpc_scene):
     info = json.loads(urllib.request.urlopen(
         "http://127.0.0.1:18734/info", timeout=10).read())
     assert info["methods"]
-    png = urllib.request.urlopen(
-        "http://127.0.0.1:18734/frame?yaw=0.8&pitch=-0.6&radius=700"
-        "&method=0&mode=", timeout=60).read()
+    def fetch(mode):
+        # follow the pipeline's x-stale convergence like the page does:
+        # a lagged frame is re-requested until the served frame matches
+        # the requested parameters
+        url = ("http://127.0.0.1:18734/frame?yaw=0.8&pitch=-0.6&radius=700"
+               f"&method=0&mode={mode}")
+        for _ in range(3):
+            resp = urllib.request.urlopen(url, timeout=60)
+            body = resp.read()
+            if resp.headers.get("x-stale") != "1":
+                return body
+        raise AssertionError("stale frames never converged")
+
+    png = fetch("")
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
-    png2 = urllib.request.urlopen(
-        "http://127.0.0.1:18734/frame?yaw=0.8&pitch=-0.6&radius=700"
-        "&method=0&mode=overdraw", timeout=60).read()
+    png2 = fetch("overdraw")
     assert png2[:8] == b"\x89PNG\r\n\x1a\n"
     assert png2 != png  # overdraw heatmap differs from color
     srv.shutdown()

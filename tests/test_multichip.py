@@ -59,3 +59,66 @@ def test_sharded_matches_single():
     mismatch = np.argwhere(img_sharded != img_single)
     assert mismatch.size == 0, f"{mismatch.shape[0]} mismatching pixels"
     assert (img_sharded != 0x00443322).sum() >= 10  # tiny synthetic scene
+
+
+# ---------------- flagship fbatch pipeline, sharded ----------------
+
+
+@pytest.fixture(scope="module")
+def tpc_scene(tmp_path_factory):
+    from pcrhpg24_tpu.engine.native_resource import NativeLasData
+    from pcrhpg24_tpu.formats.las import write_las
+    from pcrhpg24_tpu.preprocess import preprocess_las_tpc
+    from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
+
+    d = tmp_path_factory.mktemp("mesh_tpc")
+    xyz, rgb = terrain_cloud(3 * 65536, seed=13, extent=900.0)
+    grid = cloud_to_grid(xyz)
+    las = str(d / "s.las")
+    tpc = str(d / "s.tpc")
+    write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+    preprocess_las_tpc(las, tpc, sort=True, verbose=False)
+    return NativeLasData.create(tpc).wait_loaded()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("kind", ["color", "hqs"])
+def test_flagship_sharded_matches_single(tpc_scene, kind):
+    """dp-sharded fbatch flagship frame (and HQS) == single-device,
+    bit-exact: u64-min winners / sums are associative over any batch
+    partition, and BC1 payloads are shard-invariant."""
+    from __graft_entry__ import _flagship_frame_args
+    from pcrhpg24_tpu.parallel.mesh_native import (
+        _DEV_SPEC_KEYS, make_flagship_hqs, make_flagship_render,
+    )
+    from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
+    from pcrhpg24_tpu.render.methods.huffman_tpu_hqs import hqs_frame_native
+
+    las = tpc_scene
+    dp, sp = 4, 2
+    devices = np.asarray(jax.devices()[: dp * sp]).reshape(dp, sp)
+    mesh = Mesh(devices, ("dp", "sp"))
+    W, H = 256, 144
+    fpd, scale, offset_rel, tb = _flagship_frame_args(las, W, H)
+    dev = {k: las.dev[k][:dp] for k in _DEV_SPEC_KEYS}  # 3 real + 1 pad
+    tbs = tb[:dp]
+
+    if kind == "color":
+        img_sh = np.asarray(jax.jit(make_flagship_render(
+            mesh, W, H, use_pallas=False))(dev, fpd, scale, offset_rel, tbs))
+        _d, _p, img_1 = render_frame_native(
+            las.dev, fpd, scale, offset_rel, width=W, height=H,
+            mode="color", nchunks=1, use_pallas=False, cull=True,
+            points=64, need_depth=False, fmt="fixed", tb=tb,
+        )
+    else:
+        img_sh = np.asarray(jax.jit(make_flagship_hqs(
+            mesh, W, H, use_pallas=False))(dev, fpd, scale, offset_rel, tbs))
+        _fbd, _accn, img_1 = hqs_frame_native(
+            las.dev, fpd, scale, offset_rel, W, H, 1, False, True,
+            "fixed", tb, 64,
+        )
+    img_1 = np.asarray(img_1)
+    mismatch = np.argwhere(img_sh != img_1)
+    assert mismatch.size == 0, f"{mismatch.shape[0]} mismatching pixels"
+    assert (img_sh != 0x00443322).sum() >= 100

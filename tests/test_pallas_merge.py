@@ -288,6 +288,121 @@ def test_merge_rows_matches_scatter(rows, oob):
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
 
+@pytest.mark.parametrize("runlen", [64, 65, 300])
+def test_merge_rows_run_bound_branches(runlen):
+    """The lax.cond between the fast (run<=64) and full suffix-min
+    kernels must be exact on either side of the boundary."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+
+    rng = np.random.default_rng(runlen)
+    rows, n = 4, 4096
+    pid = rng.integers(0, SIZE, rows * n).astype(np.uint32)
+    pid[:runlen] = 2000  # run of exactly `runlen` once sorted to row 0
+    pid[(pid >= 1990) & (pid <= 2010) & (np.arange(rows * n) >= runlen)] = 0
+    dep = rng.integers(0, 2**31, rows * n, dtype=np.uint64).astype(np.uint32)
+    pay = rng.integers(0, 2**24, rows * n, dtype=np.uint64).astype(np.uint32)
+    ref_d, ref_p = sorted_resolve_u64_min(
+        jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay), SIZE, True)
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid.reshape(rows, n)), jnp.asarray(dep.reshape(rows, n)),
+         jnp.asarray(pay.reshape(rows, n))],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    assert bool(pm._runs_bounded(sp, SIZE)) == (runlen <= 64)
+    got_d, got_p = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+@pytest.mark.parametrize("span_tiles,tile_cols,expect_clipped",
+                         [(6, None, True), (47, None, False),
+                          (6, 8, True)])
+def test_merge_rows_clipped_build_matches_scatter(monkeypatch, span_tiles,
+                                                  tile_cols,
+                                                  expect_clipped):
+    """The clipped pair-grid table build (and its fits-check cond) must
+    produce the exact scatter winners; a row spanning more tiles than
+    the clip must take the full-grid branch and still be exact.
+    tile_cols=8 exercises the 2D tile-box clip (48 tiles as an 8x6
+    grid): spans of 6 consecutive ids cross grid rows, so boxes are
+    genuinely 2D."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+
+    rng = np.random.default_rng(span_tiles)
+    rows, n = 8, 4096
+    pid = np.empty((rows, n), np.uint32)
+    for s in range(rows):
+        base = (s * 5 % 40) * 1024
+        v = base + rng.integers(0, span_tiles * 1024, n).astype(np.uint32)
+        v[rng.random(n) < 0.3] = SIZE
+        pid[s] = v
+    dep = rng.integers(0, 2**31, (rows, n), dtype=np.uint64).astype(np.uint32)
+    pay = rng.integers(0, 2**24, (rows, n), dtype=np.uint64).astype(np.uint32)
+    ref_d, ref_p = sorted_resolve_u64_min(
+        jnp.asarray(pid.reshape(-1)), jnp.asarray(dep.reshape(-1)),
+        jnp.asarray(pay.reshape(-1)), SIZE, True)
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(pay)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    clip = 8 if tile_cols is None else 16
+    monkeypatch.setattr(pm, "CLIP_TILES", clip)
+    assert bool(pm._clip_fits(sp, SIZE, clip, tile_cols)) == expect_clipped
+    pm.dense_from_sorted_rows.clear_cache()
+    got_d, got_p = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                             interpret=True,
+                                             tile_cols=tile_cols)
+    pm.dense_from_sorted_rows.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_hqs_rows_clipped_build_matches_scatter_add(monkeypatch):
+    """Clipped table build under the HQS suffix-sum kernel: every
+    tolerance-passing entry must be counted exactly once."""
+    import pcrhpg24_tpu.render.pallas_merge as pm
+    from pcrhpg24_tpu.render import pallas_hqs as ph
+
+    rng = np.random.default_rng(11)
+    rows, n = 6, 4096
+    pid = np.empty((rows, n), np.uint32)
+    for s in range(rows):
+        base = (s * 7 % 40) * 1024
+        v = base + rng.integers(0, 5 * 1024, n).astype(np.uint32)
+        v[rng.random(n) < 0.25] = SIZE
+        pid[s] = v
+    pidf = pid.reshape(-1)
+    w = (rng.random(rows * n).astype(np.float32) * 100 + 1)
+    dep = w.view(np.uint32)
+    rgba = rng.integers(0, 2**24, rows * n, dtype=np.uint64).astype(np.uint32)
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    np.minimum.at(fbd, pidf[pidf < SIZE], dep[pidf < SIZE])
+    old = fbd.view(np.float32)
+    accs = np.zeros((4, SIZE), np.uint64)
+    keep = (pidf < SIZE) & (w <= old[np.minimum(pidf, SIZE - 1)]
+                            * np.float32(1.01))
+    for a, c in zip(accs, (rgba & 0xFF, (rgba >> 8) & 0xFF,
+                           (rgba >> 16) & 0xFF, np.ones_like(rgba))):
+        np.add.at(a, pidf[keep], c[keep].astype(np.uint64))
+
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid), jnp.asarray(dep.reshape(rows, n)),
+         jnp.asarray(rgba.reshape(rows, n))],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    monkeypatch.setattr(pm, "CLIP_TILES", 8)
+    assert bool(pm._clip_fits(sp, SIZE, 8))
+    ph.hqs_sums_from_rows.clear_cache()
+    got = ph.hqs_sums_from_rows(sp, sd, sy, jnp.asarray(fbd), SIZE,
+                                interpret=True)
+    ph.hqs_sums_from_rows.clear_cache()
+    for k in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), accs[k].astype(np.uint32)
+        )
+
+
 def test_merge_rows_grouped_equals_single(monkeypatch):
     """SMEM grouping (small budget) must not change any winner."""
     import pcrhpg24_tpu.render.pallas_merge as pm

@@ -92,3 +92,51 @@ def test_loop_nodes_hqs(potree_dir):
     img = np.asarray(r.loop(m.update, m.render, frames=1))
     assert (img != BG).mean() > 0.03
     p.unload(r)
+
+
+def test_synth_potree_and_budget(tmp_path, monkeypatch):
+    """Synthetic out-of-core builder produces a valid dataset; a
+    residency budget keeps only a coarse-first prefix resident and
+    frames render while bins stream in (>HBM-scale behavior, small)."""
+    import pcrhpg24_tpu.engine.potree_resource as pr
+    from pcrhpg24_tpu.tools.synth_potree import synth_potree
+
+    monkeypatch.setattr(pr, "BIN_POINTS", 40_000)  # many bins, tiny scene
+
+    d = str(tmp_path / "synth")
+    synth_potree(d, 250_000, depth=1, inner_n=20_000, verbose=False)
+    meta = read_metadata(d)
+    nodes = parse_hierarchy(d, meta)
+    assert meta.points == sum(n.num_points for n in nodes)
+    assert meta.points >= 200_000
+    for n in nodes[:3]:
+        world, _rgba = read_node_points(d, meta, n)
+        assert (world >= n.bbox_min - 1e-6).all()
+        assert (world <= n.bbox_max + 1e-6).all()
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=4000.0,
+                            target=(2048, 2048, 600)))
+    budget = meta.points // 2
+    p = PotreeData.create(d, budget_points=budget)
+    assert p.resident_limited
+    assert sum(n.num_points for n in p.nodes) <= budget
+    # the resident prefix is coarse-first: max resident level strictly
+    # below the dropped levels' max
+    assert min(n.level for n in p.nodes) == 0
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.load(r)
+    # frames render DURING streaming (partial residency each frame)
+    seen = []
+    import time as _t
+    for _ in range(50):
+        img = np.asarray(r.loop(m.update, m.render, frames=1))
+        seen.append(p.nodes_loaded)
+        if p.state.name == "LOADED":
+            break
+        _t.sleep(0.02)
+    assert p.state.name == "LOADED"
+    assert (img != BG).mean() > 0.01
+    p.unload(r)
