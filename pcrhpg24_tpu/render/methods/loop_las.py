@@ -63,7 +63,48 @@ def raster_chunk_101010(
     fb_d, fb_p, width: int, height: int, mask_pt=None,
 ):
     """One chunk of packed points -> framebuffer (render.cs:390-545)."""
+    pid, depth, payload = _project_101010(
+        xyz4, xyz8, xyz12, level_pt, bmin_pt, bmax_pt, transform,
+        base_index, width, height, mask_pt,
+    )
+    size = width * height
+    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
 
+
+@partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(9, 10))
+def raster_chunk_101010_nodes(
+    xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,
+    base_index, fb_d, fb_p, width: int, height: int,
+):
+    """Node-indexed variant for billion-point Potree scenes.
+
+    Per-point bbox/level/visibility come from O(nodes) device tables
+    gathered by the per-point node id `nid` (u32) instead of per-point
+    f32 planes — 4 B/point of residency instead of 28 B/point, the
+    difference between a 350M-point resident set fitting HBM or not.
+    `code_nodes` packs (level << 1 | visible) per node; same numerics
+    as raster_chunk_101010 (the gathered values are identical).
+    Reference analogue: per-node uniforms read by each workgroup
+    (modules/compute_loop_nodes/compute_loop_nodes.h:184-185).
+    """
+    nidc = jnp.clip(nid, 0, code_nodes.shape[0] - 1).astype(jnp.int32)
+    code = code_nodes[nidc]
+    lvl = code >> 1
+    vis = (code & 1) == 1
+    bmi = bmin_nodes[nidc]
+    bma = bmax_nodes[nidc]
+    pid, depth, payload = _project_101010(
+        xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
+        width, height, vis,
+    )
+    size = width * height
+    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
+
+
+def _project_101010(
+    xyz4, xyz8, xyz12, level_pt, bmin_pt, bmax_pt, transform, base_index,
+    width: int, height: int, mask_pt=None,
+):
     def unpack(plane, shift):
         p = plane.astype(jnp.uint32)
         return (
@@ -107,8 +148,7 @@ def raster_chunk_101010(
     pid = jnp.where(ok, sx + sy * width, size)
     depth = jax.lax.bitcast_convert_type(w, jnp.uint32)
     payload = (base_index + jnp.arange(xyz4.shape[0])).astype(jnp.uint32)
-
-    return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
+    return pid, depth, payload
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

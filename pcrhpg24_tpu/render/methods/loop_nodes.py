@@ -19,7 +19,7 @@ from ...engine.debug import Debug
 from ...engine.method import Method, Runtime
 from ..camera import batches_in_frustum, frustum_planes
 from ..raster import EMPTY, resolve
-from .loop_las import raster_chunk_101010, resolve_indexed
+from .loop_las import raster_chunk_101010_nodes, resolve_indexed
 
 CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 
@@ -70,51 +70,71 @@ class ComputeLoopNodes(Method):
             Runtime.resource = self.potree
 
     def _per_point_tables(self, n_loaded):
-        """Node-CONSTANT per-point tables, device-resident.
+        """Node-id plane + O(nodes) device tables, 4 B/point resident.
 
-        Built once per n_loaded change (an upload event), never per
-        frame: node bboxes don't move.  Per-frame state (LOD level +
-        visibility) is expanded on device from O(nodes) data by
-        `_expand_frame_codes` — the reference's analogue is per-node
-        uniforms read by each workgroup (compute_loop_nodes.h:184-185);
-        round-1 rebuilt all per-point arrays on the host every frame,
-        an O(points) wall the reference doesn't have.
+        `nid_pt` (u32 per point, built by a tiny scatter + device cumsum
+        once per upload event) indexes fixed-capacity per-node bbox
+        tables; per-frame LOD/visibility is a (capacity+1,) code upload
+        gathered in-kernel.  Round 2 expanded per-point f32 bbox planes
+        (28 B/point) — at billion-point scale that alone exceeds HBM;
+        node-indexed gather is the TPU analogue of the reference's
+        per-node uniforms (compute_loop_nodes.h:184-185).
         """
         p = self.potree
         if self._pt_cache is not None and self._pt_cache[0] == n_loaded:
             return self._pt_cache[1]
         counts = p.node_count[: p.nodes_loaded]
-        node_of_pt = np.repeat(np.arange(len(counts)), counts)
         nn = p.nodes_loaded
+        cap = len(p.nodes)
         n_pad = int(p.dev["xyz4"].shape[0])
-
-        def padded(a):
-            out = np.zeros((n_pad,) + a.shape[1:], a.dtype)
-            out[: len(node_of_pt)] = a
-            return jnp.asarray(out)
-
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        tables = dict(
-            bmin_pt=padded(p.bbox_min[:nn][node_of_pt].astype(np.float32)),
-            bmax_pt=padded(p.bbox_max[:nn][node_of_pt].astype(np.float32)),
-            starts=jnp.asarray(
-                np.concatenate([starts, [len(node_of_pt)]]).astype(np.int32)
-            ),
-        )
+        starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        # +1 at each node start after the first; +1 past the last point
+        # so the pad region gets id `nn` -> code 0 (invisible)
+        deltas = np.ones(nn + 1, np.int32)
+        deltas[0] = 0
+        nid_pt = _expand_frame_codes(
+            jnp.asarray(deltas), jnp.asarray(starts.astype(np.int32)), n_pad
+        ).astype(jnp.uint32)
+        if self._pt_cache is None or self._pt_cache[1]["bmin_nodes"] is None:
+            bpad = np.zeros((cap + 1, 3), np.float32)
+            bpad[:cap] = p.bbox_min
+            bmin_nodes = jnp.asarray(bpad)
+            bpad2 = np.zeros((cap + 1, 3), np.float32)
+            bpad2[:cap] = p.bbox_max
+            bmax_nodes = jnp.asarray(bpad2)
+        else:
+            bmin_nodes = self._pt_cache[1]["bmin_nodes"]
+            bmax_nodes = self._pt_cache[1]["bmax_nodes"]
+        tables = dict(nid_pt=nid_pt, bmin_nodes=bmin_nodes,
+                      bmax_nodes=bmax_nodes, starts=starts)
         self._pt_cache = (n_loaded, tables)
         return tables
 
-    def _frame_codes(self, level, vis, tables, n_pad):
-        """(level*2|vis) per point, expanded on device in O(nodes) host work."""
+    def _frame_codes(self, level, vis, cap):
+        """(level*2|vis) per node, padded to the fixed node capacity."""
         code = (level.astype(np.int32) << 1) | vis.astype(np.int32)
-        # delta-encode so a tiny scatter + device cumsum rebuilds the
-        # step-constant per-point plane; a trailing delta zeroes the pad
-        # region (vis=0 there)
-        deltas = np.concatenate([code[:1], np.diff(code), [-code[-1]]])
-        codes = _expand_frame_codes(
-            jnp.asarray(deltas.astype(np.int32)), tables["starts"], n_pad
-        )
-        return codes >> 1, (codes & 1).astype(bool)
+        full = np.zeros(cap + 1, np.int32)
+        full[: len(code)] = code
+        return jnp.asarray(full)
+
+    def _live_chunks(self, starts, counts, vis, n_pad):
+        """Chunk indices containing at least one visible node's points.
+
+        Host-side O(nodes) work; skipped chunks contribute nothing by
+        construction (every point in them is masked invisible), so the
+        image is identical — this is the TPU analogue of the reference
+        dispatching workgroups only for accepted nodes
+        (compute_loop_nodes.h:150-186).
+        """
+        nchunks = (n_pad + CHUNK_PTS - 1) // CHUNK_PTS
+        live = np.zeros(nchunks, bool)
+        vis_idx = np.flatnonzero(vis)
+        if len(vis_idx):
+            c0 = starts[vis_idx] // CHUNK_PTS
+            c1 = (starts[vis_idx] + counts[vis_idx] - 1) // CHUNK_PTS
+            for a, b in zip(c0, c1):
+                live[a : b + 1] = True
+        return np.flatnonzero(live)
 
     def render(self, renderer):
         p = self.potree
@@ -141,15 +161,17 @@ class ComputeLoopNodes(Method):
         d = p.dev
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
-        bmin_pt, bmax_pt = tables["bmin_pt"], tables["bmax_pt"]
-        lvl_pt, vis_pt = self._frame_codes(level, vis, tables, n_pad)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes))
+        nid_pt = tables["nid_pt"]
+        counts = p.node_count[:nn]
 
-        for s in range(0, n_pad, CHUNK_PTS):
+        for c in self._live_chunks(tables["starts"], counts, vis, n_pad):
+            s = int(c) * CHUNK_PTS
             sl = slice(s, min(s + CHUNK_PTS, n_pad))
-            fb_d, fb_p = raster_chunk_101010(
-                d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl],
-                lvl_pt[sl], bmin_pt[sl], bmax_pt[sl], wvp,
-                jnp.uint32(s), fb_d, fb_p, W, H, vis_pt[sl],
+            fb_d, fb_p = raster_chunk_101010_nodes(
+                d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
+                tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
+                wvp, jnp.uint32(s), fb_d, fb_p, W, H,
             )
         renderer.last_fb = (fb_d, fb_p)
         return resolve_indexed(fb_p, d["rgba"], W, H)
@@ -189,23 +211,34 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
 
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
-        bmin_pt, bmax_pt = tables["bmin_pt"], tables["bmax_pt"]
-        lvl_pt, vis_pt = self._frame_codes(level, vis, tables, n_pad)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes))
+        chunks = self._live_chunks(
+            tables["starts"], p.node_count[:nn], vis, n_pad
+        )
 
         acc = _hqs_accumulate_101010(
-            d, lvl_pt, bmin_pt, bmax_pt, vis_pt, wvp, fb_d, acc, W, H
+            d, tables, code_nodes, chunks, wvp, fb_d, acc, W, H
         )
         renderer.last_fb = (fb_d, acc[3])
         return resolve_hqs(*acc, W, H)
 
 
-def _hqs_accumulate_101010(d, lvl_pt, bmin_pt, bmax_pt, vis_pt, wvp, fb_d, acc, W, H):
+def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
+                           W, H):
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(8, 9, 10, 11))
-    def step(xyz4, xyz8, xyz12, lvl, bmi, bma, vis, rgba, acc_r, acc_g, acc_b,
-             acc_n, transform, fbd, width: int, height: int):
+    @partial(jax.jit, static_argnames=("width", "height"),
+             donate_argnums=(9, 10, 11, 12))
+    def step(xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, codes, rgba,
+             acc_r, acc_g, acc_b, acc_n, transform, fbd,
+             width: int, height: int):
         MASK = 1023
+        nidc = jnp.clip(nid, 0, codes.shape[0] - 1).astype(jnp.int32)
+        code = codes[nidc]
+        lvl = code >> 1
+        vis = (code & 1) == 1
+        bmi = bmin_nodes[nidc]
+        bma = bmax_nodes[nidc]
 
         def unpack(plane, shift):
             pp = plane.astype(jnp.uint32)
@@ -250,13 +283,15 @@ def _hqs_accumulate_101010(d, lvl_pt, bmin_pt, bmax_pt, vis_pt, wvp, fb_d, acc, 
         return acc_r, acc_g, acc_b, acc_n
 
     n_pad = d["xyz4"].shape[0]
-    for s in range(0, n_pad, CHUNK_PTS):
+    nid_pt = tables["nid_pt"]
+    for c in chunks:
+        s = int(c) * CHUNK_PTS
         sl = slice(s, min(s + CHUNK_PTS, n_pad))
         acc = list(
             step(
-                d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], lvl_pt[sl],
-                bmin_pt[sl], bmax_pt[sl], vis_pt[sl], d["rgba"][sl],
-                *acc, wvp, fb_d, W, H,
+                d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
+                tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
+                d["rgba"][sl], *acc, wvp, fb_d, W, H,
             )
         )
     return acc
