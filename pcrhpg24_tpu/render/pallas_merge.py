@@ -404,11 +404,12 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
 
 RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
 ILP_WIDE = 2  # windows per loop iteration in the ILP kernel
-# fast-path suffix-scan depth: 6 doubling steps complete runs <= 64.
-# Real frames stay far below (max run 20 on the bench view,
-# experiments/r3_incidence.py); a one-compare device check picks the
-# full 10-step kernel via lax.cond whenever the bound is exceeded.
-FAST_SUFFIX_STEPS = 6
+# fast-path suffix-scan depth: 5 doubling steps complete runs <= 32.
+# Measured max runs are 16/23/29 across the three bench views
+# (experiments/r3_xla_menu.py views stage); a one-compare device check
+# picks the full 10-step kernel via lax.cond whenever the bound is
+# exceeded, so shorter fast scans stay exact.
+FAST_SUFFIX_STEPS = 5
 
 
 def _runs_bounded(sp2d, size: int):
@@ -774,14 +775,15 @@ def build_rows_window_table(sp2d, size: int, wide: int,
         loc = jnp.where(tile < ntiles, jnp.clip(loc, 0, clip), clip)
     hi = loc // F
     lo = loc - hi * F
-    A = (hi[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
-        jnp.bfloat16)
-    Bm = (lo[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(
-        jnp.bfloat16)
+    # int8 one-hots: the (S, n, F) operand materialization dominates the
+    # whole build (bf16 read ~1.4 ms of the 2.2 ms build at 128x32K);
+    # int8 halves it and the MXU s8xs8->s32 product is exact (0/1 inputs)
+    A = (hi[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(jnp.int8)
+    Bm = (lo[:, :, None] == jnp.arange(F, dtype=jnp.int32)).astype(jnp.int8)
     counts = jax.lax.dot_general(
         A, Bm, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32).reshape(S, F * F)[:, :grid]
+        preferred_element_type=jnp.int32,
+    ).reshape(S, F * F)[:, :grid]
     if clip is None:
         # padding/sentinel tiles hold no pixels: no windows for them
         counts = jnp.where(jnp.arange(grid)[None, :] < ntiles, counts, 0)
@@ -826,21 +828,20 @@ def build_rows_window_table(sp2d, size: int, wide: int,
                  + bx[:, None] + lt_iota % cw[:, None])
         gtile = jnp.where(nwin > 0, gtile, ntiles_pad - 1)
         # windows per global tile (weighted one-hot matmul; per-pair
-        # window counts stay < 256 so they are exact in bf16, and f32
-        # accumulation is exact below 2^24)
-        assert n // TILE + 1 < 256, "row width too large for bf16 weights"
+        # window counts stay < 128 so int8 weights are exact)
+        assert n // TILE + 1 < 128, "row width too large for int8 weights"
         F2 = int(np.ceil(np.sqrt(ntiles_pad)))
         g2 = gtile.reshape(-1)
         hi2 = (g2 // F2)[:, None] == jnp.arange(F2, dtype=jnp.int32)
         lo2 = (g2 - (g2 // F2) * F2)[:, None] == jnp.arange(
             F2, dtype=jnp.int32)
         wt = jax.lax.dot_general(
-            hi2.astype(jnp.bfloat16) *
-            nwin.reshape(-1)[:, None].astype(jnp.bfloat16),
-            lo2.astype(jnp.bfloat16),
+            hi2.astype(jnp.int8) *
+            nwin.reshape(-1)[:, None].astype(jnp.int8),
+            lo2.astype(jnp.int8),
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).reshape(F2 * F2)[:ntiles_pad]
+            preferred_element_type=jnp.int32,
+        ).reshape(F2 * F2)[:ntiles_pad]
         pad = jnp.zeros(nprog, jnp.int32)
         if wide > 1:
             psum = wt.reshape(nprog, TPS).sum(axis=1)

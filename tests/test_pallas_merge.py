@@ -288,14 +288,18 @@ def test_merge_rows_matches_scatter(rows, oob):
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
 
-@pytest.mark.parametrize("runlen", [64, 65, 300])
+@pytest.mark.parametrize("runlen", ["bound", "bound+1", 300])
 def test_merge_rows_run_bound_branches(runlen):
-    """The lax.cond between the fast (run<=64) and full suffix-min
-    kernels must be exact on either side of the boundary."""
+    """The lax.cond between the fast (run <= 2**FAST_SUFFIX_STEPS) and
+    full suffix-min kernels must be exact on either side of the
+    boundary, whatever the configured fast depth."""
     import pcrhpg24_tpu.render.pallas_merge as pm
 
+    bound = 1 << pm.FAST_SUFFIX_STEPS
+    runlen = {"bound": bound, "bound+1": bound + 1}.get(runlen, runlen)
+
     rng = np.random.default_rng(runlen)
-    rows, n = 4, 4096
+    rows, n = 4, 4096  # noqa
     pid = rng.integers(0, SIZE, rows * n).astype(np.uint32)
     pid[:runlen] = 2000  # run of exactly `runlen` once sorted to row 0
     pid[(pid >= 1990) & (pid <= 2010) & (np.arange(rows * n) >= runlen)] = 0
@@ -308,7 +312,7 @@ def test_merge_rows_run_bound_branches(runlen):
          jnp.asarray(pay.reshape(rows, n))],
         num_keys=1, is_stable=False, dimension=1,
     )
-    assert bool(pm._runs_bounded(sp, SIZE)) == (runlen <= 64)
+    assert bool(pm._runs_bounded(sp, SIZE)) == (runlen <= bound)
     got_d, got_p = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, True,
                                              interpret=True)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
