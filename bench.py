@@ -182,14 +182,20 @@ def main() -> int:
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(dev, fp, tb, scale, offset_rel, k):
+            # the probe token feeds BOTH the camera params and the
+            # decoder's stream pointers: every chained frame re-decodes
+            # (otherwise XLA hoists the camera-independent decode out of
+            # the loop and the slope under-counts ~1 ms of real frame)
             acc = jnp.uint32(0)
             fp0 = fp
+            ptrs0 = dev["ptrs"]
             for _ in range(k):
                 _fd, _fp2, img = render_frame_native(
                     dev, fp0, scale, offset_rel, tb=tb, **kw)
                 probe = img[0, 0]
                 tok = jnp.where(probe == jnp.uint32(123456789), 1.0, 0.0)
                 fp0 = fp + tok.astype(jnp.float32)
+                dev = dict(dev, ptrs=ptrs0 + tok.astype(jnp.int32))
                 acc += probe
             return acc
 

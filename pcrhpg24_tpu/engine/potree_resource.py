@@ -22,6 +22,9 @@ from .las_resources import pack_101010
 from .resource import Resource, ResourceState, _upload_1d
 
 BIN_POINTS = 1_000_000
+# uploads pad to this quantum so jitted pack/upload programs compile a
+# handful of shapes instead of one per bin (see PotreeData.process)
+UPLOAD_QUANTUM = 1 << 20
 
 
 class PotreeData(Resource):
@@ -143,7 +146,16 @@ class PotreeData(Resource):
         self.state = ResourceState.UNLOADED
 
     def process(self, renderer=None, max_bins: int = 1):
-        """Upload up to one bin per frame (PotreeData.h:575-605)."""
+        """Upload up to one bin per frame (PotreeData.h:575-605).
+
+        Every upload pads to a multiple of UPLOAD_QUANTUM points so the
+        jitted pack/upload programs see a handful of shapes instead of
+        one per bin — streaming a 1B-point scene retraced pack_101010
+        ~400 times otherwise (77 s frames, all compile).  The padded
+        tail lies beyond num_points_loaded, where the per-point node id
+        resolves to an unloaded slot (code 0, invisible), and the next
+        bin's upload overwrites it.
+        """
         for _ in range(max_bins):
             try:
                 item = self._queue.get_nowait()
@@ -152,19 +164,30 @@ class PotreeData(Resource):
             if isinstance(item[0], str) and item[0] == "error":
                 raise item[1]
             rel, rgba, node_ids, next_loaded = item
+            n = len(rel)
+            start = self.num_points_loaded
+            n_buf = int(self.dev["xyz4"].shape[0])
+            pad_n = min(-(-n // UPLOAD_QUANTUM) * UPLOAD_QUANTUM,
+                        n_buf - start)
+            if pad_n > n:
+                rel = np.concatenate([rel, np.zeros((pad_n - n, 3),
+                                                    rel.dtype)])
+                rgba = np.concatenate([rgba, np.zeros(pad_n - n,
+                                                      rgba.dtype)])
+                node_ids = np.concatenate(
+                    [node_ids, np.full(pad_n - n, node_ids[-1])])
             wmin = self.bbox_min[node_ids]
             wmax = self.bbox_max[node_ids]
             p4, p8, p12, rgba_d = pack_101010(
                 jnp.asarray(rel), jnp.asarray(rgba.astype(np.uint32)),
                 jnp.asarray(wmin), jnp.asarray(wmax),
             )
-            start = self.num_points_loaded
             d = self.dev
             d["xyz4"] = _upload_1d(d["xyz4"], start, p4)
             d["xyz8"] = _upload_1d(d["xyz8"], start, p8)
             d["xyz12"] = _upload_1d(d["xyz12"], start, p12)
             d["rgba"] = _upload_1d(d["rgba"], start, rgba_d)
-            self.num_points_loaded = start + len(rel)
+            self.num_points_loaded = start + n
             self.nodes_loaded = next_loaded
         if self.nodes_loaded == len(self.nodes):
             self.state = ResourceState.LOADED

@@ -91,8 +91,10 @@ def raster_chunk_101010_nodes(
     code = code_nodes[nidc]
     lvl = code >> 1
     vis = (code & 1) == 1
-    bmi = bmin_nodes[nidc]
-    bma = bmax_nodes[nidc]
+    # per-axis 1D gathers: a gathered (N, 3) pads its minor dim to 128
+    # lanes on TPU (42.7x HBM blowup at 16.7M-point chunks)
+    bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
+    bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
     pid, depth, payload = _project_101010(
         xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
         width, height, vis,
@@ -105,6 +107,10 @@ def _project_101010(
     xyz4, xyz8, xyz12, level_pt, bmin_pt, bmax_pt, transform, base_index,
     width: int, height: int, mask_pt=None,
 ):
+    """bmin_pt/bmax_pt: (N, 3) per-point planes OR 3-tuples of (N,)
+    per-axis vectors — the node-indexed path gathers per axis because
+    a gathered (N, 3) minor dim pads to 128 lanes on TPU (42.7x HBM)."""
+
     def unpack(plane, shift):
         p = plane.astype(jnp.uint32)
         return (
@@ -118,7 +124,10 @@ def _project_101010(
     x12, y12, z12 = unpack(xyz12, 0)
 
     lvl = level_pt
-    box = bmax_pt - bmin_pt
+    if not isinstance(bmin_pt, tuple):
+        bmin_pt = (bmin_pt[:, 0], bmin_pt[:, 1], bmin_pt[:, 2])
+        bmax_pt = (bmax_pt[:, 0], bmax_pt[:, 1], bmax_pt[:, 2])
+    box = tuple(a - b for a, b in zip(bmax_pt, bmin_pt))
     # level 0: 30 bits; level 1: 20 bits; else 10 bits
     X = jnp.where(lvl == 0, x4 | x8 | x12, jnp.where(lvl == 1, x4 | x8, x4))
     Y = jnp.where(lvl == 0, y4 | y8 | y12, jnp.where(lvl == 1, y4 | y8, y4))
@@ -128,9 +137,9 @@ def _project_101010(
     Xs = jnp.where(lvl >= 2, X >> 20, X).astype(jnp.float32)
     Ys = jnp.where(lvl >= 2, Y >> 20, Y).astype(jnp.float32)
     Zs = jnp.where(lvl >= 2, Z >> 20, Z).astype(jnp.float32)
-    px_ = Xs * (box[:, 0] / denom) + bmin_pt[:, 0]
-    py_ = Ys * (box[:, 1] / denom) + bmin_pt[:, 1]
-    pz_ = Zs * (box[:, 2] / denom) + bmin_pt[:, 2]
+    px_ = Xs * (box[0] / denom) + bmin_pt[0]
+    py_ = Ys * (box[1] / denom) + bmin_pt[1]
+    pz_ = Zs * (box[2] / denom) + bmin_pt[2]
 
     t = transform.astype(jnp.float32)
     cx = t[0, 0] * px_ + t[0, 1] * py_ + t[0, 2] * pz_ + t[0, 3]
@@ -251,7 +260,10 @@ def hqs_chunk_101010(
     x8, y8, z8 = unpack(xyz8, 10)
     x12, y12, z12 = unpack(xyz12, 0)
     lvl = level_pt
-    box = bmax_pt - bmin_pt
+    if not isinstance(bmin_pt, tuple):
+        bmin_pt = (bmin_pt[:, 0], bmin_pt[:, 1], bmin_pt[:, 2])
+        bmax_pt = (bmax_pt[:, 0], bmax_pt[:, 1], bmax_pt[:, 2])
+    box = tuple(a - b for a, b in zip(bmax_pt, bmin_pt))
     X = jnp.where(lvl == 0, x4 | x8 | x12, jnp.where(lvl == 1, x4 | x8, x4))
     Y = jnp.where(lvl == 0, y4 | y8 | y12, jnp.where(lvl == 1, y4 | y8, y4))
     Z = jnp.where(lvl == 0, z4 | z8 | z12, jnp.where(lvl == 1, z4 | z8, z4))
@@ -259,9 +271,9 @@ def hqs_chunk_101010(
     Xs = jnp.where(lvl >= 2, X >> 20, X).astype(jnp.float32)
     Ys = jnp.where(lvl >= 2, Y >> 20, Y).astype(jnp.float32)
     Zs = jnp.where(lvl >= 2, Z >> 20, Z).astype(jnp.float32)
-    px_ = Xs * (box[:, 0] / denom) + bmin_pt[:, 0]
-    py_ = Ys * (box[:, 1] / denom) + bmin_pt[:, 1]
-    pz_ = Zs * (box[:, 2] / denom) + bmin_pt[:, 2]
+    px_ = Xs * (box[0] / denom) + bmin_pt[0]
+    py_ = Ys * (box[1] / denom) + bmin_pt[1]
+    pz_ = Zs * (box[2] / denom) + bmin_pt[2]
 
     t = transform.astype(jnp.float32)
     cx = t[0, 0] * px_ + t[0, 1] * py_ + t[0, 2] * pz_ + t[0, 3]

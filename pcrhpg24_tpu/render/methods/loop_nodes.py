@@ -89,11 +89,17 @@ class ComputeLoopNodes(Method):
         n_pad = int(p.dev["xyz4"].shape[0])
         starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         # +1 at each node start after the first; +1 past the last point
-        # so the pad region gets id `nn` -> code 0 (invisible)
-        deltas = np.ones(nn + 1, np.int32)
-        deltas[0] = 0
+        # so the pad region gets id `nn` -> code 0 (invisible).  Arrays
+        # pad to the FIXED capacity so the jitted scatter+cumsum
+        # compiles once, not once per streamed bin (unused slots
+        # scatter delta 0 — harmless wherever they land).
+        deltas = np.zeros(cap + 2, np.int32)
+        deltas[1 : nn + 1] = 1
+        starts_full = np.zeros(cap + 2, np.int64)
+        starts_full[: nn + 1] = starts
         nid_pt = _expand_frame_codes(
-            jnp.asarray(deltas), jnp.asarray(starts.astype(np.int32)), n_pad
+            jnp.asarray(deltas), jnp.asarray(starts_full.astype(np.int32)),
+            n_pad
         ).astype(jnp.uint32)
         if self._pt_cache is None or self._pt_cache[1]["bmin_nodes"] is None:
             bpad = np.zeros((cap + 1, 3), np.float32)
@@ -237,8 +243,9 @@ def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
         code = codes[nidc]
         lvl = code >> 1
         vis = (code & 1) == 1
-        bmi = bmin_nodes[nidc]
-        bma = bmax_nodes[nidc]
+        # per-axis 1D gathers (a gathered (N,3) pads 3 -> 128 lanes)
+        bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
+        bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
 
         def unpack(plane, shift):
             pp = plane.astype(jnp.uint32)
@@ -258,10 +265,10 @@ def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
         Xs = jnp.where(lvl >= 2, X >> 20, X).astype(jnp.float32)
         Ys = jnp.where(lvl >= 2, Y >> 20, Y).astype(jnp.float32)
         Zs = jnp.where(lvl >= 2, Z >> 20, Z).astype(jnp.float32)
-        box = bma - bmi
-        px_ = Xs * (box[:, 0] / denom) + bmi[:, 0]
-        py_ = Ys * (box[:, 1] / denom) + bmi[:, 1]
-        pz_ = Zs * (box[:, 2] / denom) + bmi[:, 2]
+        box = tuple(a - b for a, b in zip(bma, bmi))
+        px_ = Xs * (box[0] / denom) + bmi[0]
+        py_ = Ys * (box[1] / denom) + bmi[1]
+        pz_ = Zs * (box[2] / denom) + bmi[2]
         t = transform.astype(jnp.float32)
         cx = t[0, 0] * px_ + t[0, 1] * py_ + t[0, 2] * pz_ + t[0, 3]
         cy = t[1, 0] * px_ + t[1, 1] * py_ + t[1, 2] * pz_ + t[1, 3]
