@@ -35,6 +35,9 @@ CHUNK_PTS = RENDER_CHUNK_BATCHES * POINTS_PER_WORKGROUP
 STEPS_30BIT = float(1 << 30)
 STEPS_10BIT = 1024.0
 MASK = 1023
+# row width of the segmented nk1 sorts feeding the Pallas merge kernel
+# (the flagship's tuned point, experiments/r3_sortrows.py)
+SORT_SEG = 32768
 
 
 def precision_levels(view, proj, bbox_min, bbox_max, width, height):
@@ -69,6 +72,46 @@ def raster_chunk_101010(
     )
     size = width * height
     return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "rows"))
+def project_rows_101010_nodes(
+    xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,
+    base_index, width: int, height: int, rows: int,
+):
+    """Node-indexed projection -> pid-sorted rows in the SWIZZLED tile
+    id space, ready for pallas_merge.dense_from_sorted_rows.  This is
+    the flagship resolve applied to the Potree path: per-chunk
+    SORT_ROWS-segmented nk1 sorts + the scatter-free merge kernel
+    replace the 3-key sort + unique scatter of raster_chunk_101010
+    (18.7 ms sort + serial scatter per 16.7M chunk on TPU)."""
+    from ..raster import swizzle_dims, swizzle_pid
+
+    nidc = jnp.clip(nid, 0, code_nodes.shape[0] - 1).astype(jnp.int32)
+    code = code_nodes[nidc]
+    lvl = code >> 1
+    vis = (code & 1) == 1
+    bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
+    bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
+    pid, depth, payload = _project_101010(
+        xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
+        width, height, vis,
+    )
+    # re-express in the swizzled 32x32-tile id space (linear pids make
+    # a screen-compact segment span many 1024-px tiles)
+    _wt, _ht, size = swizzle_dims(width, height)
+    lin = jnp.clip(pid, 0, width * height - 1)
+    px = lin % width
+    py = lin // width
+    spid = jnp.where(pid < width * height,
+                     swizzle_pid(px, py, width).astype(jnp.uint32),
+                     jnp.uint32(size))
+    n = spid.shape[0] // rows
+    return jax.lax.sort(
+        [spid.reshape(rows, n), depth.reshape(rows, n),
+         payload.reshape(rows, n)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(9, 10))

@@ -19,7 +19,19 @@ from ...engine.debug import Debug
 from ...engine.method import Method, Runtime
 from ..camera import batches_in_frustum, frustum_planes
 from ..raster import EMPTY, resolve
-from .loop_las import raster_chunk_101010_nodes, resolve_indexed
+from .loop_las import (
+    SORT_SEG,
+    project_rows_101010_nodes,
+    raster_chunk_101010_nodes,
+    resolve_indexed,
+)
+
+
+@jax.jit
+def _u64min_combine(fbd, fbp, gd, gp):
+    """Exact elementwise u64 (depth<<32|payload) min of two plane pairs."""
+    less = (gd < fbd) | ((gd == fbd) & (gp < fbp))
+    return jnp.where(less, gd, fbd), jnp.where(less, gp, fbp)
 
 CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 
@@ -171,14 +183,52 @@ class ComputeLoopNodes(Method):
         nid_pt = tables["nid_pt"]
         counts = p.node_count[:nn]
 
-        for c in self._live_chunks(tables["starts"], counts, vis, n_pad):
-            s = int(c) * CHUNK_PTS
-            sl = slice(s, min(s + CHUNK_PTS, n_pad))
-            fb_d, fb_p = raster_chunk_101010_nodes(
-                d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
-                tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
-                wvp, jnp.uint32(s), fb_d, fb_p, W, H,
-            )
+        live = self._live_chunks(tables["starts"], counts, vis, n_pad)
+        if jax.default_backend() == "tpu":
+            # flagship resolve: per-chunk segmented nk1 sorts + the
+            # scatter-free merge kernel; chunk GROUPS bound the sorted-
+            # stream transient and group planes combine with an exact
+            # elementwise u64 min (associative over any partition)
+            from ..pallas_merge import dense_from_sorted_rows
+            from ..raster import swizzle_dims, unswizzle_plane
+
+            wt_cols, _ht, size = swizzle_dims(W, H)
+            rows_per_chunk = CHUNK_PTS // SORT_SEG
+            fbd = fbp = None
+            GROUP = 2  # chunks per merge call (~0.8 GB sorted stream)
+            for g0 in range(0, len(live), GROUP):
+                parts = []
+                for c in live[g0 : g0 + GROUP]:
+                    s = int(c) * CHUNK_PTS
+                    sl = slice(s, min(s + CHUNK_PTS, n_pad))
+                    parts.append(project_rows_101010_nodes(
+                        d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl],
+                        nid_pt[sl], tables["bmin_nodes"],
+                        tables["bmax_nodes"], code_nodes, wvp,
+                        jnp.uint32(s), W, H,
+                        rows=(sl.stop - sl.start) // SORT_SEG,
+                    ))
+                sp = jnp.concatenate([p[0] for p in parts])
+                sd = jnp.concatenate([p[1] for p in parts])
+                sy = jnp.concatenate([p[2] for p in parts])
+                gd, gp = dense_from_sorted_rows(
+                    sp, sd, sy, size, need_depth=True, tile_cols=wt_cols)
+                if fbd is None:
+                    fbd, fbp = gd, gp
+                else:
+                    fbd, fbp = _u64min_combine(fbd, fbp, gd, gp)
+            if fbd is not None:
+                fb_p = unswizzle_plane(fbp, W, H)
+                fb_d = unswizzle_plane(fbd, W, H)
+        else:
+            for c in live:
+                s = int(c) * CHUNK_PTS
+                sl = slice(s, min(s + CHUNK_PTS, n_pad))
+                fb_d, fb_p = raster_chunk_101010_nodes(
+                    d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
+                    tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
+                    wvp, jnp.uint32(s), fb_d, fb_p, W, H,
+                )
         renderer.last_fb = (fb_d, fb_p)
         return resolve_indexed(fb_p, d["rgba"], W, H)
 

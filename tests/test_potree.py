@@ -140,3 +140,64 @@ def test_synth_potree_and_budget(tmp_path, monkeypatch):
     assert p.state.name == "LOADED"
     assert (img != BG).mean() > 0.01
     p.unload(r)
+
+
+def test_rows_resolve_matches_scatter(potree_dir):
+    """The flagship rows-resolve path loop_nodes takes on TPU
+    (project_rows_101010_nodes + dense_from_sorted_rows, interpret here)
+    must produce the exact planes of the scatter fallback."""
+    import jax
+
+    from pcrhpg24_tpu.render.methods.loop_las import (
+        SORT_SEG, project_rows_101010_nodes, raster_chunk_101010_nodes,
+    )
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_rows
+    from pcrhpg24_tpu.render.raster import EMPTY, swizzle_dims, unswizzle_plane
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=900.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+    from pcrhpg24_tpu.render.methods.loop_nodes import node_levels
+
+    nn = p.nodes_loaded
+    vis = batches_in_frustum(frustum_planes(np.asarray(wvp)),
+                             p.bbox_min[:nn], p.bbox_max[:nn])
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis &= lvl < 4
+    tables = m._per_point_tables(p.num_points_loaded)
+    codes = m._frame_codes(lvl, vis, len(p.nodes))
+    d = p.dev
+    n_pad = int(d["xyz4"].shape[0])
+    assert n_pad % SORT_SEG == 0
+
+    # scatter reference
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H)
+
+    # rows path (interpret-mode merge kernel)
+    wt_cols, _ht, size = swizzle_dims(W, H)
+    sp, sd, sy = project_rows_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), W, H, rows=n_pad // SORT_SEG)
+    gd, gp = dense_from_sorted_rows(sp, sd, sy, size, need_depth=True,
+                                    interpret=True, tile_cols=wt_cols)
+    got_p = unswizzle_plane(gp, W, H)
+    got_d = unswizzle_plane(gd, W, H)
+    assert (np.asarray(fb_p) != EMPTY).sum() > 500  # scene actually renders
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(fb_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(fb_d))
