@@ -45,6 +45,10 @@ t_start = time.perf_counter()
 last = -1
 while p.state.name != "LOADED":
     t0 = time.perf_counter()
+    # several bins per rendered frame: each bin's host->device upload
+    # rides the axon tunnel (~20 MB/s), so frame-per-bin pacing is
+    # tunnel-bound; real deployments upload at PCIe/HBM rates
+    p.process(r, max_bins=8)
     img = r.loop(m.update, m.render, frames=1)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
@@ -54,7 +58,7 @@ while p.state.name != "LOADED":
             nodes=p.nodes_loaded, mpts=round(p.num_points_loaded / 1e6, 1),
             frame_ms=round(dt * 1e3, 1)))
         last = p.nodes_loaded
-        if len(samples) % 20 == 1:
+        if len(samples) % 5 == 1:
             print(samples[-1], flush=True)
 load_s = time.perf_counter() - t_start
 print(f"loaded {p.num_points_loaded/1e6:.1f}M resident in {load_s:.0f}s",
