@@ -39,6 +39,7 @@ from .pallas_merge import (
     _flat_gather,
     _flat_shift,
     _rows_of,
+    _search_lower_bound,
 )
 
 
@@ -148,10 +149,7 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
                                                suffix_steps)
 
         pidrows = _rows_of(lpid)
-        pos = jnp.zeros((SUBS, LANES), jnp.int32)
-        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-            probe = _flat_gather(pidrows, pos + (b - 1))
-            pos = pos + (probe < iota).astype(jnp.int32) * b
+        pos = _search_lower_bound(lpid, pidrows, iota)
         posc = jnp.minimum(pos, TILE - 1)
         hit = _flat_gather(pidrows, posc) == iota
 
@@ -242,13 +240,18 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
 
 def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
                     fast_ok=None, clip=None, tile_cols=None):
-    from .pallas_merge import FAST_SUFFIX_STEPS, build_rows_window_table
+    from .pallas_merge import (
+        FAST_SUFFIX_STEPS, WCAP, build_rows_window_table,
+    )
 
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
+    # wcap-bounded table with device-checked fallback (see
+    # pallas_merge._dense_rows_group)
     cumwin, wrowtile, nrows, nprog = build_rows_window_table(
-        sp2d, size, wide=1, reread_bits=3, clip=clip, tile_cols=tile_cols
+        sp2d, size, wide=1, reread_bits=3, clip=clip, tile_cols=tile_cols,
+        wcap=WCAP,
     )
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
@@ -263,7 +266,7 @@ def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
 
-    def call(steps):
+    def call(tables, steps):
         kern = partial(_hqs_sum_kernel, nrows=nrows, suffix_steps=steps)
         return pl.pallas_call(
             kern,
@@ -275,16 +278,29 @@ def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
             out_shape=[outshape] * 4,
             scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
             interpret=interpret,
-        )(cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
+        )(*tables, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
 
-    if fast_ok is None:
-        outs = call(10)
-    else:
-        outs = jax.lax.cond(
+    def resolve_with(tables):
+        if fast_ok is None:
+            return call(tables, 10)
+        return jax.lax.cond(
             fast_ok,
-            lambda: call(FAST_SUFFIX_STEPS),
-            lambda: call(10),
+            lambda: call(tables, FAST_SUFFIX_STEPS),
+            lambda: call(tables, 10),
         )
+
+    def big_path():
+        cw2, wr2, _nr, _np = build_rows_window_table(
+            sp2d, size, wide=1, reread_bits=3, clip=clip,
+            tile_cols=tile_cols,
+        )
+        return resolve_with((cw2, wr2))
+
+    outs = jax.lax.cond(
+        cumwin[-1] < WCAP,
+        lambda: resolve_with((cumwin, wrowtile)),
+        big_path,
+    )
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE

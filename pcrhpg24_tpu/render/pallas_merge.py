@@ -72,6 +72,67 @@ def _flat_gather(rows, pos):
     return out
 
 
+def _bcast_row(t, s: int):
+    """Plane filled with t[s, 0]'s value; t must be a lane-broadcast
+    column (t[i, j] == t[i, 0]).
+
+    Mosaic has no both-axes broadcast ("Broadcast in both sublanes and
+    lanes") and re-fuses slice+broadcast chains back into one, so the
+    row is extracted with a masked cross-sublane max whose (1, L)
+    result broadcasts along sublanes only.
+    """
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    vals = jnp.where(srow == s, t, jnp.int32(-0x80000000))
+    return jnp.broadcast_to(jnp.max(vals, axis=0, keepdims=True),
+                            (SUBS, LANES))
+
+
+def _search_lower_bound(lpid, pidrows, iota):
+    """pos = lower_bound(lpid_window, iota) for all 1024 targets.
+
+    The first three binary-search probes hit CONSTANT flat positions
+    (511; 255/767; 127/383/639/895) — all at lane 127 of known sublanes
+    — so they read from broadcasts of that column instead of paying a
+    full 8-gather _flat_gather each (merge kernel 4.48 -> 3.79 ms,
+    experiments/r3_merge_micro2.py).  Probes b=64..1 have 8+ candidate
+    positions where broadcast trees price out; they stay gathers.
+    """
+    t = jnp.broadcast_to(lpid[:, LANES - 1 : LANES], (SUBS, LANES))
+    m512 = _bcast_row(t, 3) < iota
+    pos = m512.astype(jnp.int32) * 512
+    val2 = jnp.where(m512, _bcast_row(t, 5), _bcast_row(t, 1))
+    m256 = val2 < iota
+    pos = pos + m256.astype(jnp.int32) * 256
+    val3 = jnp.where(
+        m512,
+        jnp.where(m256, _bcast_row(t, 6), _bcast_row(t, 4)),
+        jnp.where(m256, _bcast_row(t, 2), _bcast_row(t, 0)),
+    )
+    pos = pos + (val3 < iota).astype(jnp.int32) * 128
+    for b in (64, 32, 16, 8, 4, 2, 1):
+        probe = _flat_gather(pidrows, pos + (b - 1))
+        pos = pos + (probe < iota).astype(jnp.int32) * b
+    return pos
+
+
+def _gather3(pidrows, deprows, payrows, posc):
+    """hit/depth/payload gathers at posc, sharing the selection masks."""
+    col = jnp.bitwise_and(posc, LANES - 1)
+    row = jnp.right_shift(posc, 7)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    rel = (row - srow) & (SUBS - 1)
+    hitp = jnp.zeros((SUBS, LANES), jnp.int32)
+    cd = jnp.zeros((SUBS, LANES), jnp.int32)
+    cp = jnp.zeros((SUBS, LANES), jnp.int32)
+    for s in range(SUBS):
+        sel = rel == s
+        hitp = jnp.where(
+            sel, jnp.take_along_axis(pidrows[s], col, axis=1), hitp)
+        cd = jnp.where(sel, jnp.take_along_axis(deprows[s], col, axis=1), cd)
+        cp = jnp.where(sel, jnp.take_along_axis(payrows[s], col, axis=1), cp)
+    return hitp, cd, cp
+
+
 def _merge_kernel(firstrow_ref, nwin_ref, *rest, need_depth: bool,
                   nrows: int):
     if need_depth:
@@ -268,14 +329,10 @@ def _merge_nk1_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
                                    suffix_steps)
 
         pidrows = _rows_of(lpid)
-        pos = jnp.zeros((SUBS, LANES), jnp.int32)
-        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-            probe = _flat_gather(pidrows, pos + (b - 1))
-            pos = pos + (probe < iota).astype(jnp.int32) * b
+        pos = _search_lower_bound(lpid, pidrows, iota)
         posc = jnp.minimum(pos, TILE - 1)
-        hit = _flat_gather(pidrows, posc) == iota
-        cd = _flat_gather(_rows_of(dep), posc)
-        cp = _flat_gather(_rows_of(pay), posc)
+        hitp, cd, cp = _gather3(pidrows, _rows_of(dep), _rows_of(pay), posc)
+        hit = hitp == iota
 
         @pl.when(g + RING < hi)
         def _prefetch():
@@ -356,15 +413,10 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         dep, pay = _suffix_min_u64(lpid, wdep[slot] ^ bias, wpay[slot] ^ bias,
                                    suffix_steps)
         pidrows = _rows_of(lpid)
-        pos = jnp.zeros((SUBS, LANES), jnp.int32)
-        for b in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-            probe = _flat_gather(pidrows, pos + (b - 1))
-            pos = pos + (probe < iota).astype(jnp.int32) * b
+        pos = _search_lower_bound(lpid, pidrows, iota)
         posc = jnp.minimum(pos, TILE - 1)
-        hit = _flat_gather(pidrows, posc) == iota
-        cd = _flat_gather(_rows_of(dep), posc)
-        cp = _flat_gather(_rows_of(pay), posc)
-        return lt, hit, cd, cp
+        hitp, cd, cp = _gather3(pidrows, _rows_of(dep), _rows_of(pay), posc)
+        return lt, hitp == iota, cd, cp
 
     def upd(best, res):
         lt, hit, cd, cp = res
@@ -404,6 +456,11 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
 
 RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
 ILP_WIDE = 2  # windows per loop iteration in the ILP kernel
+# window-table size for the fast table build (device-checked: a group
+# whose total window count reaches WCAP falls back to the worst-case-
+# sized table).  Observed per-group maxima are ~6K across bench views
+# and scale groups.
+WCAP = 16384
 # fast-path suffix-scan depth: 5 doubling steps complete runs <= 32.
 # Measured max runs are 16/23/29 across the three bench views
 # (experiments/r3_xla_menu.py views stage); a one-compare device check
@@ -722,18 +779,31 @@ def _clip_fits(sp2d, size: int, clip: int, tile_cols: int | None = None):
 
 def build_rows_window_table(sp2d, size: int, wide: int,
                             reread_bits: int = 0, clip: int | None = None,
-                            tile_cols: int | None = None):
+                            tile_cols: int | None = None,
+                            wcap: int | None = None,
+                            rowstride: int | None = None):
     """Sort-free flat window table over S equal-width sorted rows.
 
     Per-(stream, tile) pair counts come from an MXU one-hot histogram
     (a searchsorted here costs 19-40 ms at S=128; the matmul is
     bandwidth-bound on the one-hot operands only).  The flat expansion
-    pair->windows is SORT-FREE: window g's owning pair is the last pair
-    m with ex[m] <= g (ex = exclusive cumsum of per-pair window
-    counts), found by a scatter-max of m into slot ex[m] plus a cummax
-    forward-fill — then one gather pulls each window's pair record.
-    (The previous sort-merge expansion spent 3.4 ms in its second sort
-    at 128x2040, experiments/r3_build_parts.py.)
+    pair->windows is SORT-FREE and SCATTER-FREE: window g's owning
+    pair is the last pair m with ex[m] <= g (ex = exclusive cumsum of
+    per-pair window counts) = (#pairs with ex <= g) - 1, i.e. the
+    inclusive cumsum of an ex-histogram — one more MXU one-hot product
+    (the previous scatter-max + cummax + full-domain gather cost 1.8 of
+    the 2.4 ms build, experiments/r3_build_v3.py; XLA TPU scatters
+    apply updates serially).
+
+    `wcap` bounds the window table size (default: the worst-case wmax).
+    Callers must guarantee total windows < wcap (device-check
+    cumwin[-1] and lax.cond to a full-size build otherwise); the
+    expansion/gather domain then shrinks ~8x.
+
+    `rowstride` is the HBM row stride in 128-lane units when sp2d is a
+    caller-sliced LIVE PREFIX of wider rows (live entries sort before
+    the OOB sentinels, so prefix positions equal full-row positions and
+    only the histogram input shrinks).
 
     `clip` (CLIP_TILES) shrinks the pair grid to a per-stream window of
     `clip` tiles anchored at the stream's first live tile — callers
@@ -753,7 +823,7 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    rowstride = n // LANES
+    rowstride = n // LANES if rowstride is None else rowstride
     nrows = S * rowstride
     assert nrows < (1 << (29 - TPS_BITS - reread_bits)), "group too large"
 
@@ -796,8 +866,9 @@ def build_rows_window_table(sp2d, size: int, wide: int,
         jnp.arange(S, dtype=jnp.int32) * rowstride
     )[:, None]
 
-    wmax = S * grid + S * (n // TILE) + nprog * (wide - 1)
-    gidx = jnp.arange(wmax, dtype=jnp.int32)
+    wmax = S * grid + S * (-(-n // TILE)) + nprog * (wide - 1)
+    wtot = wmax if wcap is None else wcap
+    gidx = jnp.arange(wtot, dtype=jnp.int32)
 
     if clip is None:
         # full grid is naturally tile-major: m = t*S + s
@@ -876,12 +947,21 @@ def build_rows_window_table(sp2d, size: int, wide: int,
 
     cumc = jnp.cumsum(cnt, dtype=jnp.int32)
     ex = cumc - cnt  # pair m owns windows [ex, ex+cnt)
-    # owner of window g = last pair with ex <= g: scatter m into slot
-    # ex[m] (max resolves shared slots — the real pair always sorts
-    # last in its ex-group since empty pairs don't advance cumc), then
-    # forward-fill with a cummax
-    own = jnp.zeros(wmax, jnp.int32).at[ex].max(m_iota, mode="drop")
-    own = jax.lax.cummax(own)
+    # owner of window g = last pair with ex <= g = (#pairs ex <= g) - 1
+    # (m is ordered by ex: ex is a cumsum in pair order), read off the
+    # inclusive cumsum of an ex-histogram — an MXU one-hot product like
+    # the counts histogram, instead of a serial scatter-max
+    F3 = int(np.ceil(np.sqrt(wtot + 1)))
+    exc = jnp.minimum(ex, wtot)  # ex > last live window: never read
+    eh = (exc // F3)[:, None] == jnp.arange(F3, dtype=jnp.int32)
+    el = (exc - (exc // F3) * F3)[:, None] == jnp.arange(
+        F3, dtype=jnp.int32)
+    ehist = jax.lax.dot_general(
+        eh.astype(jnp.int8), el.astype(jnp.int8),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(F3 * F3)[:wtot]
+    own = jnp.cumsum(ehist, dtype=jnp.int32) - 1
     rec = jnp.take(jnp.stack([fval, ex, send]), own, axis=1)
     wf, we, wsend = rec[0], rec[1], rec[2]
     row = (wf >> 2) + (gidx - we) * SUBS
@@ -912,19 +992,24 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
     wide = ILP_WIDE if ilp else 1
+    # wcap-bounded table first: the small expansion domain costs ~0.45 ms
+    # less at 128x32K (experiments/r3_build_v3.py); cumwin is wcap-
+    # independent, so its total window count decides on device whether
+    # the small table is complete, falling back to the worst-case-sized
+    # build otherwise (rare: >WCAP live (row, tile) pairs in one group)
     cumwin, wrowtile, nrows, nprog = build_rows_window_table(
-        sp2d, size, wide, clip=clip, tile_cols=tile_cols
+        sp2d, size, wide, clip=clip, tile_cols=tile_cols, wcap=WCAP
     )
 
     as_i32 = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.uint32), jnp.int32
     ).reshape(-1, LANES)
-    args = (cumwin, wrowtile, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d))
+    planes = (as_i32(sp2d), as_i32(sd2d), as_i32(sy2d))
     outspec = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
 
-    def call(steps):
+    def call(tables, steps):
         kern = partial(
             _merge_nk1_kernel_ilp, nrows=nrows, wide=wide,
             suffix_steps=steps,
@@ -939,16 +1024,28 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
             out_shape=[outshape] * 2,
             scratch_shapes=[win] * 3 + [pltpu.SemaphoreType.DMA((RING, 3))],
             interpret=interpret,
-        )(*args)
+        )(*tables, *planes)
 
-    if fast_ok is None:
-        outd, outp = call(10)
-    else:
-        outd, outp = jax.lax.cond(
+    def resolve_with(tables):
+        if fast_ok is None:
+            return call(tables, 10)
+        return jax.lax.cond(
             fast_ok,
-            lambda: call(FAST_SUFFIX_STEPS),
-            lambda: call(10),
+            lambda: call(tables, FAST_SUFFIX_STEPS),
+            lambda: call(tables, 10),
         )
+
+    def big_path():
+        cw2, wr2, _nr, _np = build_rows_window_table(
+            sp2d, size, wide, clip=clip, tile_cols=tile_cols
+        )
+        return resolve_with((cw2, wr2))
+
+    outd, outp = jax.lax.cond(
+        cumwin[-1] < WCAP,
+        lambda: resolve_with((cumwin, wrowtile)),
+        big_path,
+    )
 
     tou32 = lambda o: jax.lax.bitcast_convert_type(o, jnp.uint32).reshape(
         ntiles_pad * TILE
