@@ -73,14 +73,22 @@ def sample(x):
         f[:: max(1, f.shape[0] // 4096)].astype(jnp.uint32))
 
 
+FS = __import__("os").environ.get("FS", "0") == "1"  # fully_sorted kernel
+if FS:
+    sp, sd, sy = jax.block_until_ready(jax.lax.sort(
+        [pid.reshape(SORT_ROWS, n).astype(jnp.uint32),
+         dep.reshape(SORT_ROWS, n), pay.reshape(SORT_ROWS, n)],
+        num_keys=3, is_stable=False, dimension=1))
+
+
 def run(wide, ring):
     pm.ILP_WIDE, pm.RING = wide, ring
 
     def resolve(spv, sdv, syv):
-        fast_ok = pm._runs_bounded(spv, SIZE)
+        fast_ok = None if FS else pm._runs_bounded(spv, SIZE)
         _d, p = pm._dense_rows_group(
             spv, sdv, syv, SIZE, False, True, fast_ok, pm.CLIP_TILES,
-            wt_cols)
+            wt_cols, fully_sorted=FS)
         return p
 
     @jax.jit

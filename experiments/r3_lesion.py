@@ -99,13 +99,16 @@ def proj(tok):
     return pid, dep, pay
 
 
+NK = int(__import__("os").environ.get("NK", "3"))
+
+
 def sort_rows(tok):
     pid, dep, pay = proj(tok)
     n = pid.size // SORT_ROWS
     return jax.lax.sort(
         [pid.reshape(SORT_ROWS, n), dep.reshape(SORT_ROWS, n),
          pay.reshape(SORT_ROWS, n)],
-        num_keys=1, is_stable=False, dimension=1)
+        num_keys=NK, is_stable=False, dimension=1)
 
 
 def table(tok):
@@ -118,7 +121,8 @@ def table(tok):
 def full(tok):
     sp, sd, sy = sort_rows(tok)
     fd, fp = pm.dense_from_sorted_rows(sp, sd, sy, SIZE, need_depth=False,
-                                       tile_cols=wt_cols)
+                                       tile_cols=wt_cols,
+                                       fully_sorted=(NK == 3))
     return fp
 
 
