@@ -229,7 +229,7 @@ def main() -> int:
                     CHUNK, SORT_ROWS, render_chunk_native,
                 )
                 from pcrhpg24_tpu.render.pallas_merge import (
-                    dense_from_sorted_rows,
+                    SORT_KEYS, dense_from_sorted_rows,
                 )
                 from pcrhpg24_tpu.render.raster import (
                     sorted_resolve_u64_min, swizzle_dims,
@@ -249,11 +249,12 @@ def main() -> int:
                 sp_, sd_, sy_ = jax.lax.sort(
                     [pid.reshape(SORT_ROWS, n1).astype(jnp.uint32),
                      dep.reshape(SORT_ROWS, n1), pay.reshape(SORT_ROWS, n1)],
-                    num_keys=1, is_stable=False, dimension=1,
+                    num_keys=SORT_KEYS, is_stable=False, dimension=1,
                 )
                 wt0, _ht0, size = swizzle_dims(W, H)
                 _gd, gp = dense_from_sorted_rows(sp_, sd_, sy_, size, False,
-                                                 tile_cols=wt0)
+                                                 tile_cols=wt0,
+                                                 fully_sorted=SORT_KEYS == 3)
                 _rd, rp = sorted_resolve_u64_min(
                     pid.astype(jnp.uint32), dep, pay, size, False,
                     use_pallas=False,

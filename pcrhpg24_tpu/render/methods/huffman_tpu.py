@@ -230,6 +230,12 @@ def render_frame_native(
     # cheaper than one flat sort (0.87 ms at 256x16K vs 6.4 ms at 4.2M,
     # experiments/r3_sort_menu.py) and the swizzled tile space keeps
     # per-row merge windows compact (experiments/r3_windows.py).
+    # num_keys follows pallas_merge.SORT_KEYS: nk3 rows make every run's
+    # head its exact u64 min, so the throughput-bound matscatter merge
+    # kernel runs suffix-free (the +0.56 ms sort buys back ~2x that in
+    # kernel time on window-heavy views, experiments/r3_matscatter.py)
+    from ..pallas_merge import SORT_KEYS
+
     def chunk_body(carry, c):
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
@@ -239,7 +245,8 @@ def render_frame_native(
         sp, sd, sy = jax.lax.sort(
             [pid_c.reshape(SORT_ROWS, n).astype(jnp.uint32),
              dep_c.reshape(SORT_ROWS, n), pay_c.reshape(SORT_ROWS, n)],
-            num_keys=1, is_stable=False, dimension=1,
+            num_keys=SORT_KEYS if use_pallas else 1,
+            is_stable=False, dimension=1,
         )
         return carry, (sp, sd, sy)
 
@@ -268,6 +275,7 @@ def render_frame_native(
         fb_d, fb_p = dense_from_sorted_rows(
             sps.reshape(-1, nseg), sds.reshape(-1, nseg),
             sys_.reshape(-1, nseg), size, need_depth, tile_cols=_wt,
+            fully_sorted=SORT_KEYS == 3,
         )
     else:
         from ..raster import sorted_resolve_u64_min

@@ -65,7 +65,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
     _wt, _ht, size = swizzle_dims(width, height)
 
     if use_pallas:
-        from ..pallas_merge import dense_from_sorted_rows
+        from ..pallas_merge import SORT_KEYS, dense_from_sorted_rows
 
         def prep_body(carry, c):
             pid, dep, pay = render_chunk_native(
@@ -76,7 +76,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
             sp, sd, sy = jax.lax.sort(
                 [pid.reshape(SORT_ROWS, n).astype(jnp.uint32),
                  dep.reshape(SORT_ROWS, n), pay.reshape(SORT_ROWS, n)],
-                num_keys=1, is_stable=False, dimension=1,
+                num_keys=SORT_KEYS, is_stable=False, dimension=1,
             )
             return carry, (sp, sd, sy)
 
@@ -90,6 +90,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
         # the u64 (depth<<32|payload) min's depth plane IS the min depth
         fb_depth, _fb_p = dense_from_sorted_rows(
             sps, sds, sys_, size, need_depth=True, tile_cols=_wt,
+            fully_sorted=SORT_KEYS == 3,
         )
         return fb_depth, (sps, sds, sys_)
 

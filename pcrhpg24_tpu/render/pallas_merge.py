@@ -26,6 +26,7 @@ and this is the scatter-free formulation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -454,8 +455,171 @@ def _merge_nk1_kernel_ilp(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         outd_ref[k * SUBS : (k + 1) * SUBS, :] = out[2 * k] ^ bias
 
 
+def _shift_down1(x):
+    """prev[k] = x[k-1] over the (8,128) row-major flat order (circular
+    at k=0, which callers head-force anyway)."""
+    a = pltpu.roll(x, shift=1, axis=1)
+    b = pltpu.roll(a, shift=1, axis=0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    return jnp.where(col == 0, b, a)
+
+
+def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
+                             wide: int = 1, suffix_steps: int = 0):
+    """MXU scatter-matmul merge kernel — no binary search, no serial
+    dependency chains (experiments/r3_matscatter.py: 2.84 vs 3.76 ms on
+    the 4.2M orbit window set, and throughput- rather than latency-bound).
+
+    Each window's per-pixel winners are scattered to their tile pixels
+    by a head-masked factorized one-hot matmul:
+
+        OUT[pr, pc] = sum_k head[k] * (hi[k]==pr) * (lo[k]==pc) * V[k]
+
+    with hi = lpid>>7 one-hot on sublanes (LHS), lo = lpid&127 one-hot
+    on lanes (RHS via one (8,128)->(128,8) transpose), and V = the
+    biased depth/payload split into 4 bytes each so bf16 products are
+    exact (head-masking keeps one contributor per pixel per window; the
+    single nonzero accumulates exactly in f32).
+
+    `suffix_steps=0` requires FULLY sorted rows (num_keys=3: the head
+    entry of every pid run is the exact u64 min).  `suffix_steps>0`
+    accepts nk1 rows and restores run minima with the segmented
+    suffix-min first — the ops are throughput-additive here, unlike in
+    the latency-bound probe kernel.
+    """
+    (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
+     wpid, wdep, wpay, sems) = rest
+    prog = pl.program_id(0)
+    bias = jnp.int32(-0x80000000)
+    maxi = jnp.full((SUBS, LANES), 0x7FFFFFFF, jnp.int32)
+    sr8 = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    flat = sr8 * LANES + jax.lax.broadcasted_iota(
+        jnp.int32, (SUBS, LANES), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    t0 = prog * TPS
+    lo_w = cumwin_ref[t0]
+    hi_w = cumwin_ref[t0 + TPS]
+
+    def dma(g, slot):
+        r0 = jnp.minimum(wrowtile_ref[g] >> TPS_BITS, nrows - SUBS)
+        return [
+            pltpu.make_async_copy(spid_hbm.at[pl.ds(r0, SUBS), :],
+                                  wpid.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(spay_hbm.at[pl.ds(r0, SUBS), :],
+                                  wpay.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(sdep_hbm.at[pl.ds(r0, SUBS), :],
+                                  wdep.at[slot], sems.at[slot, 2]),
+        ]
+
+    for rr in range(RING):
+        @pl.when(lo_w + rr < hi_w)
+        def _fill(rr=rr):
+            for c in dma(lo_w + rr, rr):
+                c.start()
+
+    def one(g, slot):
+        for c in dma(g, slot):
+            c.wait()
+        lt = wrowtile_ref[g] & (TPS - 1)
+        lpid = wpid[slot] - (t0 + lt) * TILE
+        depv = wdep[slot] ^ bias
+        payv = wpay[slot] ^ bias
+        if suffix_steps:
+            depv, payv = _suffix_min_u64(lpid, depv, payv, suffix_steps)
+        prev = _shift_down1(lpid)
+        head = ((lpid != prev) | (flat == 0)) & (lpid >= 0) & (lpid < TILE)
+        hi3 = jnp.right_shift(lpid, 7)
+        lo7 = jnp.bitwise_and(lpid, LANES - 1)
+        loT = jnp.transpose(lo7)  # (128, 8)
+        Bs = [
+            (jax.lax.broadcast_in_dim(
+                loT[:, er:er + 1], (LANES, LANES), (0, 1)) == lane_iota
+             ).astype(jnp.bfloat16)
+            for er in range(SUBS)
+        ]
+        du = jax.lax.bitcast_convert_type(depv, jnp.uint32)
+        pu = jax.lax.bitcast_convert_type(payv, jnp.uint32)
+        cvs = [
+            jnp.bitwise_and(jnp.right_shift(du, 8 * q),
+                            jnp.uint32(255)).astype(jnp.int32)
+            for q in range(4)
+        ] + [
+            jnp.bitwise_and(jnp.right_shift(pu, 8 * q),
+                            jnp.uint32(255)).astype(jnp.int32)
+            for q in range(4)
+        ]
+        # scatter byte3+1 (1..256, still bf16-exact) so ANY hit leaves a
+        # nonzero plane-3 residue — a raw top depth byte can be 0
+        cvs[3] = cvs[3] + 1
+        bc = lambda x, er: jax.lax.broadcast_in_dim(
+            x[er:er + 1, :], (SUBS, LANES), (0, 1))
+        OUT = None
+        for er in range(SUBS):
+            m8 = ((bc(hi3, er) == sr8) & bc(head, er)).astype(jnp.bfloat16)
+            rows = [m8 * bc(cvs[q], er).astype(jnp.bfloat16)
+                    for q in range(8)]
+            A = jnp.concatenate(rows, axis=0)  # (64, 128)
+            d = jax.lax.dot_general(
+                A, Bs[er], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            OUT = d if OUT is None else OUT + d
+        conv = OUT.astype(jnp.int32)
+        pls = [conv[q * SUBS:(q + 1) * SUBS, :] for q in range(8)]
+        hit = pls[3] != 0
+        b3 = pls[3] - hit.astype(jnp.int32)  # undo the +1 hit marker
+        cd = pls[0] | (pls[1] << 8) | (pls[2] << 16) | (b3 << 24)
+        cp = pls[4] | (pls[5] << 8) | (pls[6] << 16) | (pls[7] << 24)
+        return lt, hit, cd, cp
+
+    def upd(best, res):
+        lt, hit, cd, cp = res
+        out = []
+        for kk in range(TPS):
+            bd, bp = best[2 * kk], best[2 * kk + 1]
+            take = (lt == kk) & hit & ((cd < bd) | ((cd == bd) & (cp < bp)))
+            out.append(jnp.where(take, cd, bd))
+            out.append(jnp.where(take, cp, bp))
+        return tuple(out)
+
+    def body2(k, best):
+        g0 = lo_w + wide * k
+        ress = []
+        for j in range(wide):
+            g = g0 + j
+            s = jax.lax.rem(g - lo_w, RING)
+            ress.append(one(g, s))
+
+            @pl.when(g + RING < hi_w)
+            def _pf(g=g, s=s):
+                for c in dma(g + RING, s):
+                    c.start()
+        for res in ress:
+            best = upd(best, res)
+        return best
+
+    init = (maxi,) * (2 * TPS)
+    out = jax.lax.fori_loop(
+        0, jax.lax.div(hi_w - lo_w, wide), body2, init)
+    for kk in range(TPS):
+        outp_ref[kk * SUBS:(kk + 1) * SUBS, :] = out[2 * kk + 1] ^ bias
+        outd_ref[kk * SUBS:(kk + 1) * SUBS, :] = out[2 * kk] ^ bias
+
+
 RING = 6  # in-flight window DMAs; covers HBM latency across tiny tiles
 ILP_WIDE = 2  # windows per loop iteration in the ILP kernel
+# merge kernel for the rows path: "matscatter" replaces the per-pixel
+# probe binary search with head-masked one-hot MXU matmuls — the kernel
+# becomes throughput-bound instead of latency-bound (2.84 vs 3.76 ms on
+# the 4.2M orbit window set, experiments/r3_matscatter.py).  wide=1: the
+# ILP interleave only ever hid the probe chain's serial latency.
+MERGE_KERNEL = os.environ.get("PM_MERGE_KERNEL", "matscatter")
+# sort keys the rows-path callers use (huffman_tpu reads this): 3 makes
+# every pid run's head entry its exact u64 min, so the throughput-bound
+# matscatter kernel can skip the per-window suffix-min entirely
+# (suffix_steps=0); the nk3 sort costs ~+0.56 ms at 128x32K
+# (experiments/r3_fullsort.py) but the suffix ops cost more on
+# window-heavy views.
+SORT_KEYS = int(os.environ.get("PM_SORT_KEYS", "3"))
 # window-table size for the fast table build (device-checked: a group
 # whose total window count reaches WCAP falls back to the worst-case-
 # sized table).  Observed per-group maxima are ~6K across bench views
@@ -687,11 +851,12 @@ def _dense_nk1_group(parts, size: int, interpret: bool, ilp: bool = True):
 
 @partial(jax.jit,
          static_argnames=("size", "need_depth", "interpret", "ilp",
-                          "tile_cols"))
+                          "tile_cols", "fully_sorted"))
 def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
                            need_depth: bool = True,
                            interpret: bool = False, ilp: bool = True,
-                           tile_cols: int | None = None):
+                           tile_cols: int | None = None,
+                           fully_sorted: bool = False):
     """(S, n) pid-sorted rows -> dense (fb_d, fb_p), EMPTY-filled.
 
     Each row is an independently pid-ascending stream (OOB sentinels at
@@ -700,13 +865,16 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
     whose window tables fit the SMEM budget; group planes combine with
     an exact elementwise u64-min.  `tile_cols` (the swizzled grid's
     tile-row width) enables the clipped 2D-box table build.
+    `fully_sorted` promises rows sorted by the FULL (pid, dep, pay) key
+    (num_keys=3): every run's head entry is its exact u64 min, so the
+    kernels skip the segmented suffix-min (suffix_steps=0).
     """
     S, n = sp2d.shape
     assert n % TILE == 0, n
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    fast_ok = _runs_bounded(sp2d, size)
+    fast_ok = True if fully_sorted else _runs_bounded(sp2d, size)
 
     def render(clip):
         words_per_stream = (ntiles_pad if clip is None else clip) + n // TILE
@@ -716,6 +884,7 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
             d, p = _dense_rows_group(
                 sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
                 size, interpret, ilp, fast_ok, clip, tile_cols,
+                fully_sorted,
             )
             if fbd is None:
                 fbd, fbp = d, p
@@ -980,18 +1149,21 @@ def build_rows_window_table(sp2d, size: int, wide: int,
 
 
 def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
-                      ilp: bool, fast_ok=None, clip=None, tile_cols=None):
+                      ilp: bool, fast_ok=None, clip=None, tile_cols=None,
+                      fully_sorted: bool = False):
     """One merge-kernel invocation over S equal-width sorted rows.
 
     `fast_ok` (traced bool) selects the run-length-bounded suffix-scan
     kernel via lax.cond; None always runs the full 10-step kernel.
     `clip` selects the clipped pair-grid table build (caller-verified).
+    `fully_sorted` (static) drops the suffix-min entirely (steps=0).
     """
     S, n = sp2d.shape
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    wide = ILP_WIDE if ilp else 1
+    matscatter = MERGE_KERNEL == "matscatter"
+    wide = 1 if matscatter else (ILP_WIDE if ilp else 1)
     # wcap-bounded table first: the small expansion domain costs ~0.45 ms
     # less at 128x32K (experiments/r3_build_v3.py); cumwin is wcap-
     # independent, so its total window count decides on device whether
@@ -1010,11 +1182,15 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
 
     def call(tables, steps):
-        kern = partial(
-            _merge_nk1_kernel_ilp, nrows=nrows, wide=wide,
-            suffix_steps=steps,
-        ) if ilp else partial(_merge_nk1_kernel, nrows=nrows,
-                              suffix_steps=steps)
+        if matscatter:
+            kern = partial(_merge_matscatter_kernel, nrows=nrows,
+                           wide=wide, suffix_steps=steps)
+        elif ilp:
+            kern = partial(_merge_nk1_kernel_ilp, nrows=nrows, wide=wide,
+                           suffix_steps=steps)
+        else:
+            kern = partial(_merge_nk1_kernel, nrows=nrows,
+                           suffix_steps=steps)
         return pl.pallas_call(
             kern,
             grid=(nprog,),
@@ -1027,6 +1203,8 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
         )(*tables, *planes)
 
     def resolve_with(tables):
+        if fully_sorted:
+            return call(tables, 0)
         if fast_ok is None:
             return call(tables, 10)
         return jax.lax.cond(

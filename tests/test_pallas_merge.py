@@ -288,6 +288,26 @@ def test_merge_rows_matches_scatter(rows, oob):
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
 
+@pytest.mark.parametrize("rows,oob", [(4, 0.4), (8, 0.9)])
+def test_merge_rows_fully_sorted(rows, oob):
+    """nk3-sorted rows + fully_sorted=True (suffix_steps=0) must match
+    the scatter path exactly — the flagship's production configuration
+    (pallas_merge.SORT_KEYS == 3)."""
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_rows
+
+    pid, dep, pay = _mk(16 * 1024, seed=rows + 100, oob_frac=oob)
+    ref_d, ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
+    n = pid.shape[0] // rows
+    sp, sd, sy = jax.lax.sort(
+        [pid.reshape(rows, n), dep.reshape(rows, n), pay.reshape(rows, n)],
+        num_keys=3, is_stable=False, dimension=1,
+    )
+    got_d, got_p = dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                          interpret=True, fully_sorted=True)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
 @pytest.mark.parametrize("runlen", ["bound", "bound+1", 300])
 def test_merge_rows_run_bound_branches(runlen):
     """The lax.cond between the fast (run <= 2**FAST_SUFFIX_STEPS) and
