@@ -265,14 +265,22 @@ def main() -> int:
                         "(scaled chunk-0 spot check)")}))
                     return 1
 
+            # slope from MIN-of-3 timings per endpoint: the tunnel's
+            # per-dispatch jitter only ever ADDS wall time, and a single
+            # sample per endpoint leaves +-0.5 ms/frame of noise in the
+            # per-view numbers (round-3 oblique read 9.7 ms on one
+            # sample vs ~8.3 from summed device-traced phases)
             ts = {}
             for k in (1, 1 + FRAMES):
                 o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
                 float(o)
-                t0 = time.perf_counter()
-                o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
-                float(o)
-                ts[k] = time.perf_counter() - t0
+                best = float("inf")
+                for _rep in range(3):
+                    t0 = time.perf_counter()
+                    o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
+                    float(o)
+                    best = min(best, time.perf_counter() - t0)
+                ts[k] = best
             dt_view = (ts[1 + FRAMES] - ts[1]) / FRAMES
             views_out[name] = {
                 "device_frame_ms": round(dt_view * 1e3, 2),
