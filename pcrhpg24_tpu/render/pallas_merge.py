@@ -533,7 +533,10 @@ def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
             depv, payv = _suffix_min_u64(lpid, depv, payv, suffix_steps)
         prev = _shift_down1(lpid)
         head = ((lpid != prev) | (flat == 0)) & (lpid >= 0) & (lpid < TILE)
-        hi3 = jnp.right_shift(lpid, 7)
+        # fold the head mask into the sublane index (-1 never matches
+        # sr8): saves the per-er & in the m8 build, 1.35 -> 1.27 ms on
+        # the orbit window set (experiments/r3_flushacc.py)
+        hi3 = jnp.where(head, jnp.right_shift(lpid, 7), -1)
         lo7 = jnp.bitwise_and(lpid, LANES - 1)
         du = jax.lax.bitcast_convert_type(depv, jnp.uint32)
         pu = jax.lax.bitcast_convert_type(payv, jnp.uint32)
@@ -556,7 +559,7 @@ def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         OUT = None
         for er in range(SUBS):
             C = (bcl(lo7, er) == sub_iota).astype(jnp.bfloat16)
-            m8 = ((bc(hi3, er) == sr8) & bc(head, er)).astype(jnp.bfloat16)
+            m8 = (bc(hi3, er) == sr8).astype(jnp.bfloat16)
             rows = [m8 * bc(cvs[q], er).astype(jnp.bfloat16)
                     for q in range(8)]
             A = jnp.concatenate(rows, axis=0)  # (64, 128)
