@@ -92,7 +92,8 @@ def _local_frame(dev, frame_params, scale, offset_rel, tb, width, height,
         sd2 = jnp.concatenate([r[1] for r in rows])
         sy2 = jnp.concatenate([r[2] for r in rows])
         fb_d, fb_p = dense_from_sorted_rows(sp2, sd2, sy2, size, True,
-                                            tile_cols=_wt)
+                                            tile_cols=_wt,
+                                            pay_bits=24)  # BC1 payload
         return fb_d, fb_p, lod_n, transform, parts
     fb_d, fb_p = sorted_resolve_u64_min_parts(parts, size, True,
                                               use_pallas=False)

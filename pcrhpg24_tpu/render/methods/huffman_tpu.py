@@ -276,6 +276,7 @@ def render_frame_native(
             sps.reshape(-1, nseg), sds.reshape(-1, nseg),
             sys_.reshape(-1, nseg), size, need_depth, tile_cols=_wt,
             fully_sorted=SORT_KEYS == 3,
+            pay_bits=24,  # BC1 payload is R|G<<8|B<<16
         )
     else:
         from ..raster import sorted_resolve_u64_min

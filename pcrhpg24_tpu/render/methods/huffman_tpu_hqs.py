@@ -88,9 +88,11 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
         sds = sds.reshape(-1, nseg)
         sys_ = sys_.reshape(-1, nseg)
         # the u64 (depth<<32|payload) min's depth plane IS the min depth
+        # (payload tie-breaks never change it) — pay_bits=0 drops all 4
+        # payload byte planes from the prepass scatter
         fb_depth, _fb_p = dense_from_sorted_rows(
             sps, sds, sys_, size, need_depth=True, tile_cols=_wt,
-            fully_sorted=SORT_KEYS == 3,
+            fully_sorted=SORT_KEYS == 3, pay_bits=0,
         )
         return fb_depth, (sps, sds, sys_)
 

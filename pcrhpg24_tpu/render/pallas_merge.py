@@ -465,7 +465,8 @@ def _shift_down1(x):
 
 
 def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
-                             wide: int = 1, suffix_steps: int = 0):
+                             wide: int = 1, suffix_steps: int = 0,
+                             pay_planes: int = 4):
     """MXU scatter-matmul merge kernel — no binary search, no serial
     dependency chains (experiments/r3_matscatter.py: 2.84 vs 3.76 ms on
     the 4.2M orbit window set, and throughput- rather than latency-bound).
@@ -491,6 +492,15 @@ def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
     accepts nk1 rows and restores run minima with the segmented
     suffix-min first — the ops are throughput-additive here, unlike in
     the latency-bound probe kernel.
+
+    `pay_planes` (static, 0..4) is the number of payload BYTE planes
+    scattered.  The per-er A-build (8 broadcast+mul vreg ops per plane)
+    is the kernel's VPU floor, so callers whose payloads are narrower
+    than 32 bits drop the dead planes: the flagship BC1 payload is
+    R|G<<8|B<<16 (24-bit, pallas_project._bc1_payload) -> 3 planes;
+    the HQS prepass discards the payload plane entirely -> 0 planes
+    (the depth plane is the exact min depth regardless of payload
+    tie-breaks).  Missing planes read back as payload bits 0.
     """
     (spid_hbm, sdep_hbm, spay_hbm, outd_ref, outp_ref,
      wpid, wdep, wpay, sems) = rest
@@ -547,8 +557,9 @@ def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         ] + [
             jnp.bitwise_and(jnp.right_shift(pu, 8 * q),
                             jnp.uint32(255)).astype(jnp.int32)
-            for q in range(4)
+            for q in range(pay_planes)
         ]
+        nplanes = 4 + pay_planes
         # scatter byte3+1 (1..256, still bf16-exact) so ANY hit leaves a
         # nonzero plane-3 residue — a raw top depth byte can be 0
         cvs[3] = cvs[3] + 1
@@ -561,18 +572,29 @@ def _merge_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
             C = (bcl(lo7, er) == sub_iota).astype(jnp.bfloat16)
             m8 = (bc(hi3, er) == sr8).astype(jnp.bfloat16)
             rows = [m8 * bc(cvs[q], er).astype(jnp.bfloat16)
-                    for q in range(8)]
-            A = jnp.concatenate(rows, axis=0)  # (64, 128)
+                    for q in range(nplanes)]
+            A = jnp.concatenate(rows, axis=0)  # (8*nplanes, 128)
             d = jax.lax.dot_general(
                 A, C, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             OUT = d if OUT is None else OUT + d
         conv = OUT.astype(jnp.int32)
-        pls = [conv[q * SUBS:(q + 1) * SUBS, :] for q in range(8)]
+        pls = [conv[q * SUBS:(q + 1) * SUBS, :] for q in range(nplanes)]
         hit = pls[3] != 0
         b3 = pls[3] - hit.astype(jnp.int32)  # undo the +1 hit marker
         cd = pls[0] | (pls[1] << 8) | (pls[2] << 16) | (b3 << 24)
-        cp = pls[4] | (pls[5] << 8) | (pls[6] << 16) | (pls[7] << 24)
+        if pay_planes == 4:
+            cp = pls[4] | (pls[5] << 8) | (pls[6] << 16) | (pls[7] << 24)
+        else:
+            # dropped planes reconstruct as payload-bits 0; every value
+            # here is still ^bias, so the missing TOP byte is the
+            # constant bias byte 0x80 (payload byte3 == 0 for every
+            # pay_planes<4 caller) — comparisons and the final ^bias
+            # then match the full-plane kernel bit-for-bit
+            zero = jnp.zeros((SUBS, LANES), jnp.int32)
+            pp = pls[4:] + [zero] * (3 - pay_planes)
+            cp = (pp[0] | (pp[1] << 8) | (pp[2] << 16)
+                  | jnp.int32(-0x80000000))
         return lt, hit, cd, cp
 
     def upd(best, res):
@@ -855,12 +877,13 @@ def _dense_nk1_group(parts, size: int, interpret: bool, ilp: bool = True):
 
 @partial(jax.jit,
          static_argnames=("size", "need_depth", "interpret", "ilp",
-                          "tile_cols", "fully_sorted"))
+                          "tile_cols", "fully_sorted", "pay_bits"))
 def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
                            need_depth: bool = True,
                            interpret: bool = False, ilp: bool = True,
                            tile_cols: int | None = None,
-                           fully_sorted: bool = False):
+                           fully_sorted: bool = False,
+                           pay_bits: int = 32):
     """(S, n) pid-sorted rows -> dense (fb_d, fb_p), EMPTY-filled.
 
     Each row is an independently pid-ascending stream (OOB sentinels at
@@ -872,6 +895,12 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
     `fully_sorted` promises rows sorted by the FULL (pid, dep, pay) key
     (num_keys=3): every run's head entry is its exact u64 min, so the
     kernels skip the segmented suffix-min (suffix_steps=0).
+    `pay_bits` (static) promises every live payload < 2**pay_bits; the
+    matscatter kernel then scatters only ceil(pay_bits/8) payload byte
+    planes (the per-plane A-build is its VPU floor).  pay_bits=0 means
+    the caller discards the payload plane entirely (HQS prepass) — the
+    returned fb_p is NOT meaningful then, but fb_d is still the exact
+    min depth.
     """
     S, n = sp2d.shape
     assert n % TILE == 0, n
@@ -879,6 +908,7 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
     fast_ok = True if fully_sorted else _runs_bounded(sp2d, size)
+    pay_planes = -(-pay_bits // 8)
 
     def render(clip):
         words_per_stream = (ntiles_pad if clip is None else clip) + n // TILE
@@ -888,7 +918,7 @@ def dense_from_sorted_rows(sp2d, sd2d, sy2d, size: int,
             d, p = _dense_rows_group(
                 sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
                 size, interpret, ilp, fast_ok, clip, tile_cols,
-                fully_sorted,
+                fully_sorted, pay_planes,
             )
             if fbd is None:
                 fbd, fbp = d, p
@@ -1154,13 +1184,14 @@ def build_rows_window_table(sp2d, size: int, wide: int,
 
 def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
                       ilp: bool, fast_ok=None, clip=None, tile_cols=None,
-                      fully_sorted: bool = False):
+                      fully_sorted: bool = False, pay_planes: int = 4):
     """One merge-kernel invocation over S equal-width sorted rows.
 
     `fast_ok` (traced bool) selects the run-length-bounded suffix-scan
     kernel via lax.cond; None always runs the full 10-step kernel.
     `clip` selects the clipped pair-grid table build (caller-verified).
     `fully_sorted` (static) drops the suffix-min entirely (steps=0).
+    `pay_planes` (static) is the matscatter payload byte-plane count.
     """
     S, n = sp2d.shape
     ntiles = -(-size // TILE)
@@ -1188,7 +1219,8 @@ def _dense_rows_group(sp2d, sd2d, sy2d, size: int, interpret: bool,
     def call(tables, steps):
         if matscatter:
             kern = partial(_merge_matscatter_kernel, nrows=nrows,
-                           wide=wide, suffix_steps=steps)
+                           wide=wide, suffix_steps=steps,
+                           pay_planes=pay_planes)
         elif ilp:
             kern = partial(_merge_nk1_kernel_ilp, nrows=nrows, wide=wide,
                            suffix_steps=steps)

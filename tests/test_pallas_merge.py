@@ -308,6 +308,50 @@ def test_merge_rows_fully_sorted(rows, oob):
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
 
 
+@pytest.mark.parametrize("rows,oob,nk", [(4, 0.4, 3), (8, 0.9, 3),
+                                         (8, 0.3, 1)])
+def test_merge_rows_pay_bits_24(rows, oob, nk):
+    """pay_bits=24 (the flagship BC1 payload contract) must match the
+    scatter path bit-for-bit when every payload < 2**24, on both the
+    fully-sorted (nk3) and the suffix-min (nk1) kernel paths."""
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_rows
+
+    pid, dep, pay = _mk(16 * 1024, seed=rows + 200, oob_frac=oob)
+    pay = pay & jnp.uint32(0x00FFFFFF)
+    ref_d, ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
+    n = pid.shape[0] // rows
+    sp, sd, sy = jax.lax.sort(
+        [pid.reshape(rows, n), dep.reshape(rows, n), pay.reshape(rows, n)],
+        num_keys=nk, is_stable=False, dimension=1,
+    )
+    got_d, got_p = dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                          interpret=True,
+                                          fully_sorted=nk == 3,
+                                          pay_bits=24)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
+def test_merge_rows_pay_bits_0_depth_plane():
+    """pay_bits=0 (HQS prepass) drops every payload plane; the returned
+    depth plane must still be the exact per-pixel min depth (payload
+    tie-breaks never change the u64 min's depth component)."""
+    from pcrhpg24_tpu.render.pallas_merge import dense_from_sorted_rows
+
+    pid, dep, pay = _mk(16 * 1024, seed=7, oob_frac=0.4)
+    ref_d, _ref_p = sorted_resolve_u64_min(pid, dep, pay, SIZE, True)
+    rows = 8
+    n = pid.shape[0] // rows
+    sp, sd, sy = jax.lax.sort(
+        [pid.reshape(rows, n), dep.reshape(rows, n), pay.reshape(rows, n)],
+        num_keys=3, is_stable=False, dimension=1,
+    )
+    got_d, _got_p = dense_from_sorted_rows(sp, sd, sy, SIZE, True,
+                                           interpret=True,
+                                           fully_sorted=True, pay_bits=0)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+
+
 @pytest.mark.parametrize("runlen", ["bound", "bound+1", 300])
 def test_merge_rows_run_bound_branches(runlen):
     """The lax.cond between the fast (run <= 2**FAST_SUFFIX_STEPS) and
