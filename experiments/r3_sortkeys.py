@@ -116,21 +116,15 @@ def dup_stats(pid, dep, pay):
     return dup.sum(), dup_pay.sum()
 
 
+# trimmed to the decision-critical set (each distinct sort shape is a
+# ~10-20 s XLA compile on this 1-core host): nk1/2/3 at the production
+# row shape on the orbit streams, plus per-view (pid, dep) duplicate
+# stats that tell how often an nk2 fast path would have to fall back.
 for view in ("orbit", "closeup", "oblique"):
     pid, dep, pay = streams_for(view)
     d, dp = dup_stats(pid, dep, pay)
     print(f"{view}: adjacent (pid,dep) dups={int(d)} with-diff-pay={int(dp)}",
           flush=True)
-    for rows in (128, 256, 512):
-        sp = jax.lax.sort([pid.reshape(rows, -1)], num_keys=1,
-                          is_stable=False, dimension=1)[0]
-        cumwin, _w, _nr, _np_ = build_rows_window_table(
-            sp, SIZE, wide=1, clip=None, tile_cols=_wt)
-        print(f"  windows @rows={rows}: {int(cumwin[-1])}", flush=True)
     if view == "orbit":
-        for rows in (128, 256, 512):
-            for nk in (1, 2, 3):
-                slope_sort(pid, dep, pay, rows, nk)
-    else:
-        for nk in (2, 3):
+        for nk in (1, 2, 3):
             slope_sort(pid, dep, pay, 128, nk)
