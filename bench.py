@@ -5,10 +5,22 @@ the TPU-native `.tpc` format, loads it fully to the device, then times
 full frames of the flagship `huffman_tpu` method — frustum cull + LOD +
 Pallas decode of every visible batch + exact depth-test rasterize +
 resolve — the same per-frame work as the reference's flagship
-(modules/huffman_mem_iter_cuda/).  Set BENCH_METHOD=reference to bench
-the reference-format XLA path instead.
+(modules/huffman_mem_iter_cuda/huffman_mem_iter_cuda.h:192-195).  Set
+BENCH_METHOD=reference to bench the reference-format XLA path instead.
 
 Prints ONE JSON line.  Baseline: 2e9 points/sec (driver north star).
+
+Cold-start contract (round-4): the whole run — scene synthesis, XLA
+compiles, timing, exactness gates — must fit the driver's budget from
+an empty .jax_cache.  Three mechanisms enforce it:
+  * the timed frame chain is a `lax.fori_loop` with a RUNTIME trip
+    count, so one compile serves every chain length (the round-3 bench
+    unrolled k=11 full frame graphs and blew the budget, rc=124);
+  * stages are ordered headline-first and optional stages (extra
+    views, full-frame fallback gates, wall-clock, trace) are skipped
+    once the BENCH_BUDGET_S deadline (default 900 s) approaches;
+  * a watchdog thread prints the best-known result JSON and exits 0
+    at the deadline even if a compile stalls.
 """
 
 from __future__ import annotations
@@ -16,15 +28,49 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 BENCH_BATCHES = int(os.environ.get("BENCH_BATCHES", "64"))  # x65 536 pts
 BENCH_METHOD = os.environ.get("BENCH_METHOD", "native")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+T_START = time.time()
 WARMUP = 2
 FRAMES = 10
 W, H = 1920, 1080
+
+_PRINTED = threading.Event()
+_RESULT: dict = {}  # mutated in place as numbers land; watchdog prints it
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def _emit(partial: bool = False) -> None:
+    """Print the ONE result JSON line exactly once."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    out = dict(_RESULT)
+    if partial:
+        out.setdefault("detail", {})["partial"] = True
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog() -> None:
+    # fire 45 s before the budget so the print itself always lands
+    if not _PRINTED.wait(timeout=max(5.0, BUDGET_S - 45 - (time.time() - T_START))):
+        if not _RESULT:
+            _RESULT.update({
+                "metric": "fused huffman decode+rasterize @1920x1080",
+                "value": 0.0, "unit": "Gpoints/s", "vs_baseline": 0.0,
+                "detail": {"error": "watchdog: no headline before budget"},
+            })
+        _emit(partial=True)
+        os._exit(0)
 
 
 def build_scene(path: str, num_batches: int) -> str:
@@ -47,6 +93,7 @@ def build_scene(path: str, num_batches: int) -> str:
 
 
 def main() -> int:
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
@@ -128,192 +175,235 @@ def main() -> int:
     m = MethodCls(r, las)
     m.update(r)
     las.wait_loaded(r)
-
-    r.loop(m.update, m.render, frames=WARMUP)
     r.controls_update()
     _, lod_full = m.frame_setup(r)
     pts_per_frame = int(lod_full.astype(np.int64).sum() * 1024)
 
-    # Two measurements:
-    #  * wall-clock frames: includes this environment's ~100 ms/dispatch
-    #    tunnel RTT (an axon artifact, not device work),
-    #  * device frame time: FRAMES value-chained render_frame calls
-    #    inside one jit (slope method, experiments/NOTES.md) — the
-    #    number comparable to the reference's GPU frame times.
-    t0 = time.perf_counter()
-    imgs = []
-    for _ in range(FRAMES):
-        r.controls.yaw += 0.003
-        img = r.loop(m.update, m.render, frames=1, block=False)
-        imgs.append(img)
-    jax.block_until_ready(imgs)
-    _ = float(np.asarray(imgs[-1][0, 0]))
-    wall_dt = (time.perf_counter() - t0) / FRAMES
-
-    dt = wall_dt
     views_out = {}
-    if BENCH_METHOD == "native":
-        import functools
-        import jax.numpy as jnp
-        from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
-
-        scale, offset_rel = las._dev_consts
-        from pcrhpg24_tpu.render.camera import batch_translations
-
-        def frame_inputs():
-            cam = r.camera
-            fp = np.zeros(40, np.float32)
-            fp[0:16] = cam.view().astype(np.float32).reshape(-1)
-            fp[16:22] = cam.proj_params().astype(np.float32)
-            fp[22] = 1.0
-            fp[23] = float(las.num_batches_loaded)
-            fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
-            tb = batch_translations(
-                (cam.proj() @ cam.view()),
-                las.anchor_i[: las.dev["anchor"].shape[0]],
-                las.scale, las.offset, las.las_min,
-            )
-            return jnp.asarray(fp), jnp.asarray(tb)
-
-        kw = dict(width=W, height=H, mode="color",
-                  nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
-                  cull=True, need_depth=False,
-                  fmt="fixed" if getattr(las, "version", 1) == 2 else "tbatch")
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def chain(dev, fp, tb, scale, offset_rel, k):
-            # the probe token feeds BOTH the camera params and the
-            # decoder's stream pointers: every chained frame re-decodes
-            # (otherwise XLA hoists the camera-independent decode out of
-            # the loop and the slope under-counts ~1 ms of real frame)
-            acc = jnp.uint32(0)
-            fp0 = fp
-            ptrs0 = dev["ptrs"]
-            for _ in range(k):
-                _fd, _fp2, img = render_frame_native(
-                    dev, fp0, scale, offset_rel, tb=tb, **kw)
-                probe = img[0, 0]
-                tok = jnp.where(probe == jnp.uint32(123456789), 1.0, 0.0)
-                fp0 = fp + tok.astype(jnp.float32)
-                dev = dict(dev, ptrs=ptrs0 + tok.astype(jnp.int32))
-                acc += probe
-            return acc
-
-        for name, setting in VIEWS.items():
-            r.apply_setting(setting)
-            r.controls_update()
-            fpd, tbd = frame_inputs()
-            _, lodv = m.frame_setup(r)
-            view_pts = int(lodv.astype(np.int64).sum() * 1024)
-
-            # resolve gate: the Pallas merge image must equal the XLA
-            # scatter path's bit-for-bit, PER VIEW (the decode gate
-            # above covers the decode kernel; this covers collapse +
-            # per-chunk sorts + window tables + the merge kernel).
-            if las.num_batches_loaded <= 256:
-                _d1, _p1, img1 = render_frame_native(
-                    las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
-                _d2, _p2, img2 = render_frame_native(
-                    las.dev, fpd, scale, offset_rel, tb=tbd,
-                    **dict(kw, use_pallas=False))
-                if not np.array_equal(np.asarray(img1), np.asarray(img2)):
-                    print(json.dumps({"error": (
-                        "TPU resolve bit-exactness gate FAILED "
-                        f"(view {name})")}))
-                    return 1
-            elif name == "orbit":
-                # at scale the full scatter fallback would dominate the
-                # run; spot-check ONE chunk's streams through the merge
-                # kernel against the scatter path instead
-                from pcrhpg24_tpu.render.methods.huffman_tpu import (
-                    CHUNK, SORT_ROWS, render_chunk_native,
-                )
-                from pcrhpg24_tpu.render.pallas_merge import (
-                    SORT_KEYS, dense_from_sorted_rows,
-                )
-                from pcrhpg24_tpu.render.raster import (
-                    sorted_resolve_u64_min, swizzle_dims,
-                )
-                from pcrhpg24_tpu.render.camera import frame_setup_device
-
-                lod_n = frame_setup_device(
-                    fpd[0:16].reshape(4, 4), fpd[16:22],
-                    las.dev["bbox_min"], las.dev["bbox_max"],
-                    fpd[23].astype(jnp.int32), W, H, fpd[22], True,
-                )
-                pid, dep, pay = render_chunk_native(
-                    las.dev, 0, fpd[24:40].reshape(4, 4), lod_n, scale,
-                    offset_rel, W, H, "color", True, 64, kw["fmt"], tbd,
-                )
-                n1 = pid.shape[0] // SORT_ROWS
-                sp_, sd_, sy_ = jax.lax.sort(
-                    [pid.reshape(SORT_ROWS, n1).astype(jnp.uint32),
-                     dep.reshape(SORT_ROWS, n1), pay.reshape(SORT_ROWS, n1)],
-                    num_keys=SORT_KEYS, is_stable=False, dimension=1,
-                )
-                wt0, _ht0, size = swizzle_dims(W, H)
-                _gd, gp = dense_from_sorted_rows(sp_, sd_, sy_, size, False,
-                                                 tile_cols=wt0,
-                                                 fully_sorted=SORT_KEYS == 3)
-                _rd, rp = sorted_resolve_u64_min(
-                    pid.astype(jnp.uint32), dep, pay, size, False,
-                    use_pallas=False,
-                )
-                if not np.array_equal(np.asarray(gp), np.asarray(rp)):
-                    print(json.dumps({"error": (
-                        "TPU resolve bit-exactness gate FAILED "
-                        "(scaled chunk-0 spot check)")}))
-                    return 1
-
-            # slope from MIN-of-3 timings per endpoint: the tunnel's
-            # per-dispatch jitter only ever ADDS wall time, and a single
-            # sample per endpoint leaves +-0.5 ms/frame of noise in the
-            # per-view numbers (round-3 oblique read 9.7 ms on one
-            # sample vs ~8.3 from summed device-traced phases)
-            ts = {}
-            for k in (1, 1 + FRAMES):
-                o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
-                float(o)
-                best = float("inf")
-                for _rep in range(3):
-                    t0 = time.perf_counter()
-                    o = chain(las.dev, fpd, tbd, scale, offset_rel, k=k)
-                    float(o)
-                    best = min(best, time.perf_counter() - t0)
-                ts[k] = best
-            dt_view = (ts[1 + FRAMES] - ts[1]) / FRAMES
-            views_out[name] = {
-                "device_frame_ms": round(dt_view * 1e3, 2),
-                "visible_points": view_pts,
-                "gpts_per_s": round(view_pts / dt_view / 1e9, 4),
-            }
-            if name == "orbit":
-                dt = dt_view
-
-            # BENCH_TRACE=dir: capture a device trace of the timed
-            # chain (per-kernel attribution for the frame's phases)
-            if name == "orbit" and os.environ.get("BENCH_TRACE"):
-                with jax.profiler.trace(os.environ["BENCH_TRACE"]):
-                    float(chain(las.dev, fpd, tbd, scale, offset_rel,
-                                k=1 + FRAMES))
-
-    pts_per_sec = pts_per_frame / dt
-    result = {
-        "metric": "fused huffman decode+rasterize @1920x1080",
-        "value": round(pts_per_sec / 1e9, 4),
-        "unit": "Gpoints/s",
-        "vs_baseline": round(pts_per_sec / 2e9, 4),
-        "detail": {
-            "device_frame_ms": round(dt * 1e3, 2),
-            "wall_frame_ms": round(wall_dt * 1e3, 2),
-            "points_per_frame": pts_per_frame,
-            "batches": BENCH_BATCHES,
-            "method": BENCH_METHOD,
-            "device": str(jax.devices()[0]),
-        },
+    gates = {"decode": "pass" if BENCH_METHOD == "native" else "n/a"}
+    detail = {
+        "device_frame_ms": None,
+        "points_per_frame": pts_per_frame,
+        "batches": BENCH_BATCHES,
+        "method": BENCH_METHOD,
+        "device": str(jax.devices()[0]),
+        "views": views_out,
+        "gates": gates,
     }
-    if views_out:
-        result["detail"]["views"] = views_out
+    _RESULT.update({
+        "metric": "fused huffman decode+rasterize @1920x1080",
+        "value": 0.0, "unit": "Gpoints/s", "vs_baseline": 0.0,
+        "detail": detail,
+    })
+
+    def set_headline(dt):
+        pps = pts_per_frame / dt
+        _RESULT["value"] = round(pps / 1e9, 4)
+        _RESULT["vs_baseline"] = round(pps / 2e9, 4)
+        detail["device_frame_ms"] = round(dt * 1e3, 2)
+
+    if BENCH_METHOD != "native":
+        # reference-format path: wall-clock frames only (the XLA method
+        # isn't the perf deliverable; keep this branch simple)
+        r.loop(m.update, m.render, frames=WARMUP)
+        t0 = time.perf_counter()
+        imgs = []
+        for _ in range(FRAMES):
+            r.controls.yaw += 0.003
+            imgs.append(r.loop(m.update, m.render, frames=1, block=False))
+        jax.block_until_ready(imgs)
+        _ = float(np.asarray(imgs[-1][0, 0]))
+        dt = (time.perf_counter() - t0) / FRAMES
+        set_headline(dt)
+        detail["wall_frame_ms"] = round(dt * 1e3, 2)
+        _emit()
+        return 0
+
+    import functools
+    import jax.numpy as jnp
+    from pcrhpg24_tpu.render.methods.huffman_tpu import render_frame_native
+
+    scale = jnp.asarray(las.scale, jnp.float32)
+    offset_rel = jnp.asarray(las.offset - las.las_min, jnp.float32)
+    las._dev_consts = (scale, offset_rel)
+    from pcrhpg24_tpu.render.camera import batch_translations
+
+    def frame_inputs():
+        cam = r.camera
+        fp = np.zeros(40, np.float32)
+        fp[0:16] = cam.view().astype(np.float32).reshape(-1)
+        fp[16:22] = cam.proj_params().astype(np.float32)
+        fp[22] = 1.0
+        fp[23] = float(las.num_batches_loaded)
+        fp[24:40] = (cam.proj() @ cam.view()).astype(np.float32).reshape(-1)
+        tb = batch_translations(
+            (cam.proj() @ cam.view()),
+            las.anchor_i[: las.dev["anchor"].shape[0]],
+            las.scale, las.offset, las.las_min,
+        )
+        return jnp.asarray(fp), jnp.asarray(tb)
+
+    kw = dict(width=W, height=H, mode="color",
+              nchunks=(las.num_batches_loaded + 63) // 64, use_pallas=True,
+              cull=True, need_depth=False,
+              fmt="fixed" if getattr(las, "version", 1) == 2 else "tbatch")
+
+    @jax.jit
+    def chain(dev, fp, tb, scale, offset_rel, k):
+        # ONE compile for every chain length: k is a runtime trip count
+        # of a fori_loop whose body is the full frame graph.  The probe
+        # token feeds BOTH the camera params and the decoder's stream
+        # pointers so every chained frame re-decodes (otherwise XLA
+        # hoists the camera-independent decode out of the loop and the
+        # slope under-counts ~1 ms of real frame).
+        ptrs0 = dev["ptrs"]
+
+        def body(_i, carry):
+            acc, fp0, tok = carry
+            devi = dict(dev, ptrs=ptrs0 + tok)
+            _fd, _fp2, img = render_frame_native(
+                devi, fp0, scale, offset_rel, tb=tb, **kw)
+            probe = img[0, 0]
+            t1 = jnp.where(probe == jnp.uint32(123456789), 1, 0)
+            return (acc + probe,
+                    fp + t1.astype(jnp.float32),
+                    t1.astype(jnp.int32))
+
+        acc, _fp0, _tok = jax.lax.fori_loop(
+            0, k, body,
+            (jnp.uint32(0), fp, jnp.int32(0)))
+        return acc
+
+    def time_chain(fpd, tbd):
+        # slope from MIN-of-3 timings per endpoint: the tunnel's
+        # per-dispatch jitter only ever ADDS wall time, and a single
+        # sample per endpoint leaves +-0.5 ms/frame of noise (round-3
+        # oblique read 9.7 ms on one sample vs ~8.3 device-traced)
+        ts = {}
+        for k in (1, 1 + FRAMES):
+            kd = jnp.int32(k)
+            o = chain(las.dev, fpd, tbd, scale, offset_rel, kd)
+            float(o)
+            best = float("inf")
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                o = chain(las.dev, fpd, tbd, scale, offset_rel, kd)
+                float(o)
+                best = min(best, time.perf_counter() - t0)
+            ts[k] = best
+        return (ts[1 + FRAMES] - ts[1]) / FRAMES
+
+    # ---- headline first: orbit device frame via the chained loop ----
+    for name, setting in VIEWS.items():
+        if name != "orbit" and _remaining() < 150:
+            views_out[name] = "skipped (budget)"
+            continue
+        r.apply_setting(setting)
+        r.controls_update()
+        fpd, tbd = frame_inputs()
+        _, lodv = m.frame_setup(r)
+        view_pts = int(lodv.astype(np.int64).sum() * 1024)
+        dt_view = time_chain(fpd, tbd)
+        views_out[name] = {
+            "device_frame_ms": round(dt_view * 1e3, 2),
+            "visible_points": view_pts,
+            "gpts_per_s": round(view_pts / dt_view / 1e9, 4),
+        }
+        if name == "orbit":
+            set_headline(dt_view)
+
+        # resolve gate: the Pallas merge image must equal the XLA
+        # scatter path's bit-for-bit, PER VIEW (the decode gate above
+        # covers the decode kernel; this covers collapse + per-chunk
+        # sorts + window tables + the merge kernel).  Small scenes
+        # compare the FULL frame; at scale, spot-check the most
+        # populated chunk (adversarial: max visible points, not the
+        # Morton-friendliest chunk 0) through the merge kernel vs the
+        # scatter path.
+        gate_key = f"resolve:{name}"
+        if las.num_batches_loaded <= 256 and _remaining() > 240:
+            _d1, _p1, img1 = render_frame_native(
+                las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
+            _d2, _p2, img2 = render_frame_native(
+                las.dev, fpd, scale, offset_rel, tb=tbd,
+                **dict(kw, use_pallas=False))
+            if not np.array_equal(np.asarray(img1), np.asarray(img2)):
+                gates[gate_key] = "FAIL"
+                _RESULT["error"] = f"TPU resolve bit-exactness gate FAILED ({name})"
+                _emit()
+                return 1
+            gates[gate_key] = "pass (full frame)"
+        elif _remaining() > 150:
+            from pcrhpg24_tpu.render.methods.huffman_tpu import (
+                CHUNK, SORT_ROWS, render_chunk_native,
+            )
+            from pcrhpg24_tpu.render.pallas_merge import (
+                SORT_KEYS, dense_from_sorted_rows,
+            )
+            from pcrhpg24_tpu.render.raster import (
+                sorted_resolve_u64_min, swizzle_dims,
+            )
+            from pcrhpg24_tpu.render.camera import frame_setup_device
+
+            lod_n = frame_setup_device(
+                fpd[0:16].reshape(4, 4), fpd[16:22],
+                las.dev["bbox_min"], las.dev["bbox_max"],
+                fpd[23].astype(jnp.int32), W, H, fpd[22], True,
+            )
+            # adversarial chunk: the one with the most visible points
+            per_chunk = np.asarray(lodv.astype(np.int64))
+            nfull = (per_chunk.shape[0] // CHUNK) * CHUNK
+            csums = per_chunk[:nfull].reshape(-1, CHUNK).sum(axis=1)
+            cidx = int(csums.argmax())
+            pid, dep, pay = render_chunk_native(
+                las.dev, cidx * CHUNK, fpd[24:40].reshape(4, 4), lod_n,
+                scale, offset_rel, W, H, "color", True, 64, kw["fmt"], tbd,
+            )
+            n1 = pid.shape[0] // SORT_ROWS
+            sp_, sd_, sy_ = jax.lax.sort(
+                [pid.reshape(SORT_ROWS, n1).astype(jnp.uint32),
+                 dep.reshape(SORT_ROWS, n1), pay.reshape(SORT_ROWS, n1)],
+                num_keys=SORT_KEYS, is_stable=False, dimension=1,
+            )
+            wt0, _ht0, size = swizzle_dims(W, H)
+            _gd, gp = dense_from_sorted_rows(sp_, sd_, sy_, size, False,
+                                             tile_cols=wt0,
+                                             fully_sorted=SORT_KEYS == 3)
+            _rd, rp = sorted_resolve_u64_min(
+                pid.astype(jnp.uint32), dep, pay, size, False,
+                use_pallas=False,
+            )
+            if not np.array_equal(np.asarray(gp), np.asarray(rp)):
+                gates[gate_key] = "FAIL"
+                _RESULT["error"] = (
+                    f"TPU resolve bit-exactness gate FAILED "
+                    f"(view {name}, chunk {cidx})")
+                _emit()
+                return 1
+            gates[gate_key] = f"pass (chunk {cidx})"
+        else:
+            gates[gate_key] = "skipped (budget)"
+
+        # BENCH_TRACE=dir: capture a device trace of the timed chain
+        # (per-kernel attribution for the frame's phases)
+        if name == "orbit" and os.environ.get("BENCH_TRACE"):
+            with jax.profiler.trace(os.environ["BENCH_TRACE"]):
+                float(chain(las.dev, fpd, tbd, scale, offset_rel,
+                            jnp.int32(1 + FRAMES)))
+
+    # ---- optional: interactive wall-clock (tunnel RTT included) ----
+    if _remaining() > 180:
+        r.apply_setting(VIEWS["orbit"])
+        r.loop(m.update, m.render, frames=WARMUP)
+        t0 = time.perf_counter()
+        imgs = []
+        for _ in range(FRAMES):
+            r.controls.yaw += 0.003
+            imgs.append(r.loop(m.update, m.render, frames=1, block=False))
+        jax.block_until_ready(imgs)
+        _ = float(np.asarray(imgs[-1][0, 0]))
+        detail["wall_frame_ms"] = round(
+            (time.perf_counter() - t0) / FRAMES * 1e3, 2)
 
     # scale-run ledger: non-default sizes (e.g. BENCH_BATCHES=1536 ==
     # 100M points) record their result into docs/scale_runs.json, and
@@ -329,16 +419,22 @@ def main() -> int:
         if BENCH_BATCHES != 64 and BENCH_METHOD == "native":
             runs[str(BENCH_BATCHES)] = {
                 "points": pts_per_frame,
-                "gpts_per_s": result["value"],
-                "device_frame_ms": result["detail"]["device_frame_ms"],
+                "gpts_per_s": _RESULT["value"],
+                "device_frame_ms": detail["device_frame_ms"],
             }
             with open(ledger, "w") as f:
                 json.dump(runs, f, indent=1, sort_keys=True)
         if runs:
-            result["detail"]["scale_runs"] = runs
+            # keep the single output line compact: drop bulky per-run
+            # sample arrays (full detail stays in docs/scale_runs.json)
+            detail["scale_runs"] = {
+                k: {kk: vv for kk, vv in v.items() if kk != "load_samples"}
+                if isinstance(v, dict) else v
+                for k, v in runs.items()
+            }
     except Exception:
         pass
-    print(json.dumps(result))
+    _emit()
     return 0
 
 

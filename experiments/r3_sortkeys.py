@@ -13,10 +13,10 @@ kernel costs ~0.35 us/window (was ~1.2), which reopens two trades:
      double the (row, tile) window count — the old sweep rejected 256
      when windows cost 1.2 us; at 0.35 us the optimum may have moved.
 
-Measures, on the real orbit/closeup/oblique streams:
-  - nk1/nk2/nk3 sort at 128x32K, 256x16K, 512x8K
-  - adjacent (pid, dep) duplicate pairs (live, differing payload)
-  - window-table counts per row shape
+Measures, on the real orbit/closeup/oblique streams (the
+decision-critical trimmed set, see the rates comment below):
+  - nk1/nk2/nk3 sort wall-clock at the production 128-row shape (orbit)
+  - adjacent (pid, dep) duplicate pairs (live, differing payload) per view
 """
 import sys, pathlib, time, functools, os
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -30,7 +30,6 @@ from pcrhpg24_tpu.engine.native_resource import NativeLasData
 from pcrhpg24_tpu.render.methods.huffman_tpu import (
     HuffmanTpu, render_chunk_native, CHUNK,
 )
-from pcrhpg24_tpu.render.pallas_merge import build_rows_window_table, WCAP
 from pcrhpg24_tpu.render.raster import swizzle_dims
 from pcrhpg24_tpu.render.camera import batch_translations
 
@@ -47,7 +46,7 @@ SETTINGS = {
     "oblique": Setting(yaw=-1.1, pitch=-0.08, radius=1400.0,
                        target=(1000.0, 1000.0, 40.0)),
 }
-_wt, _ht, SIZE = swizzle_dims(W, H)
+_, _, SIZE = swizzle_dims(W, H)
 
 
 def streams_for(view):
