@@ -38,6 +38,62 @@ CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 from functools import partial as _partial
 
 
+@_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
+                                    "interpret"))
+def render_frame_nodes_tpu(
+    xyz4, xyz8, xyz12, nid_pt, bmin_nodes, bmax_nodes, code_nodes, wvp,
+    live_idx, n_live, width: int, height: int, ncap: int, chunk_pts: int,
+    interpret: bool = False,
+):
+    """Whole steady-state Potree frame in ONE dispatch.
+
+    `lax.scan` over a fixed-capacity list of live chunk indices, each
+    step slicing `chunk_pts` points, projecting them node-relative,
+    row-sorting, and min-combining the merge kernel's planes into the
+    frame carry; steps past `n_live` skip via `lax.cond` (the TPU
+    analogue of the reference dispatching workgroups only for accepted
+    nodes, compute_loop_nodes.h:150-186).  Round 3 issued ~130 eager
+    device calls per 300M-point frame; through the axon tunnel each
+    call pays ~100 ms RTT, which was the entire 14.9 s steady frame —
+    the device work itself is sub-second.
+    """
+    from ..pallas_merge import dense_from_sorted_rows
+    from ..raster import swizzle_dims
+
+    wt_cols, _ht, size = swizzle_dims(width, height)
+    rows = chunk_pts // SORT_SEG
+    n_pad = xyz4.shape[0]
+
+    def do_chunk(carry, g):
+        fbd, fbp = carry
+        s = live_idx[g] * chunk_pts
+        # clamp so the slice stays in-bounds; base_index follows the
+        # clamped start so payload indices stay correct
+        s = jnp.minimum(s, n_pad - chunk_pts).astype(jnp.int32)
+        sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk_pts,))
+        sp, sd, sy = project_rows_101010_nodes(
+            sl(xyz4), sl(xyz8), sl(xyz12), sl(nid_pt),
+            bmin_nodes, bmax_nodes, code_nodes, wvp,
+            s.astype(jnp.uint32), width, height, rows=rows,
+        )
+        gd, gp = dense_from_sorted_rows(
+            sp, sd, sy, size, need_depth=True, tile_cols=wt_cols,
+            interpret=interpret)
+        less = (gd < fbd) | ((gd == fbd) & (gp < fbp))
+        return (jnp.where(less, gd, fbd), jnp.where(less, gp, fbp))
+
+    def body(carry, g):
+        carry = jax.lax.cond(
+            g < n_live, lambda c: do_chunk(c, g), lambda c: c, carry)
+        return carry, None
+
+    init = (jnp.full((size,), EMPTY, jnp.uint32),
+            jnp.full((size,), EMPTY, jnp.uint32))
+    (fbd, fbp), _ = jax.lax.scan(
+        body, init, jnp.arange(ncap, dtype=jnp.int32))
+    return fbd, fbp
+
+
 @_partial(jax.jit, static_argnames=("n_pad",))
 def _expand_frame_codes(deltas, starts, n_pad: int):
     """Scatter per-node code deltas at node starts, cumsum to per-point."""
@@ -185,39 +241,24 @@ class ComputeLoopNodes(Method):
 
         live = self._live_chunks(tables["starts"], counts, vis, n_pad)
         if jax.default_backend() == "tpu":
-            # flagship resolve: per-chunk segmented nk1 sorts + the
-            # scatter-free merge kernel; chunk GROUPS bound the sorted-
-            # stream transient and group planes combine with an exact
-            # elementwise u64 min (associative over any partition)
-            from ..pallas_merge import dense_from_sorted_rows
-            from ..raster import swizzle_dims, unswizzle_plane
+            # flagship resolve (segmented nk1 sorts + the scatter-free
+            # merge kernel), whole frame in ONE dispatch: a lax.scan
+            # over the live-chunk list inside render_frame_nodes_tpu
+            # (group planes combine with an exact elementwise u64 min,
+            # associative over any partition)
+            from ..raster import unswizzle_plane
 
-            wt_cols, _ht, size = swizzle_dims(W, H)
-            rows_per_chunk = CHUNK_PTS // SORT_SEG
-            fbd = fbp = None
-            GROUP = 2  # chunks per merge call (~0.8 GB sorted stream)
-            for g0 in range(0, len(live), GROUP):
-                parts = []
-                for c in live[g0 : g0 + GROUP]:
-                    s = int(c) * CHUNK_PTS
-                    sl = slice(s, min(s + CHUNK_PTS, n_pad))
-                    parts.append(project_rows_101010_nodes(
-                        d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl],
-                        nid_pt[sl], tables["bmin_nodes"],
-                        tables["bmax_nodes"], code_nodes, wvp,
-                        jnp.uint32(s), W, H,
-                        rows=(sl.stop - sl.start) // SORT_SEG,
-                    ))
-                sp = jnp.concatenate([p[0] for p in parts])
-                sd = jnp.concatenate([p[1] for p in parts])
-                sy = jnp.concatenate([p[2] for p in parts])
-                gd, gp = dense_from_sorted_rows(
-                    sp, sd, sy, size, need_depth=True, tile_cols=wt_cols)
-                if fbd is None:
-                    fbd, fbp = gd, gp
-                else:
-                    fbd, fbp = _u64min_combine(fbd, fbp, gd, gp)
-            if fbd is not None:
+            chunk_pts = min(CHUNK_PTS, n_pad)
+            ncap = (n_pad + chunk_pts - 1) // chunk_pts
+            live_idx = np.zeros(ncap, np.int32)
+            live_idx[: len(live)] = live
+            if len(live):
+                fbd, fbp = render_frame_nodes_tpu(
+                    d["xyz4"], d["xyz8"], d["xyz12"], nid_pt,
+                    tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
+                    wvp, jnp.asarray(live_idx), jnp.int32(len(live)),
+                    W, H, ncap, chunk_pts,
+                )
                 fb_p = unswizzle_plane(fbp, W, H)
                 fb_d = unswizzle_plane(fbd, W, H)
         else:

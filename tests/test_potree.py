@@ -201,3 +201,32 @@ def test_rows_resolve_matches_scatter(potree_dir):
     assert (np.asarray(fb_p) != EMPTY).sum() > 500  # scene actually renders
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(fb_p))
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(fb_d))
+
+    # single-dispatch frame (the production TPU steady-frame path):
+    # scan over live chunks + cond skip must give the same planes, with
+    # real chunk-skipping exercised (live list shorter than capacity)
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        render_frame_nodes_tpu,
+    )
+
+    chunk_pts = SORT_SEG  # small chunks force a multi-step scan
+    ncap = n_pad // chunk_pts
+    assert ncap >= 2
+    starts_, counts_ = tables["starts"], p.node_count[:nn]
+    live_mask = np.zeros(ncap, bool)
+    for i in np.flatnonzero(vis):
+        c0 = int(starts_[i]) // chunk_pts
+        c1 = int(starts_[i] + counts_[i] - 1) // chunk_pts
+        live_mask[c0 : c1 + 1] = True
+    live = np.flatnonzero(live_mask)
+    live_idx = np.zeros(ncap, np.int32)
+    live_idx[: len(live)] = live
+    sfd, sfp = render_frame_nodes_tpu(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.asarray(live_idx), jnp.int32(len(live)), W, H, ncap,
+        chunk_pts, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(unswizzle_plane(sfp, W, H)), np.asarray(fb_p))
+    np.testing.assert_array_equal(
+        np.asarray(unswizzle_plane(sfd, W, H)), np.asarray(fb_d))
