@@ -48,7 +48,7 @@ _DEV_SPEC_KEYS = (
 
 
 def _local_frame(dev, frame_params, scale, offset_rel, tb, width, height,
-                 mode, use_pallas, points, fmt, chunk):
+                 mode, use_pallas, points, fmt, chunk, interpret=False):
     """One shard's decode+project+collapse+sort+merge; returns local
     (fb_d, fb_p) in the swizzled pid space (exact shard-local u64 min),
     plus (lod_n, transform) for reuse.  Mirrors render_frame_native's
@@ -74,26 +74,38 @@ def _local_frame(dev, frame_params, scale, offset_rel, tb, width, height,
         pid, dep, pay = render_chunk_native(
             dev, c * chunk, transform, lod_n, scale, offset_rel,
             width, height, mode, use_pallas, points, fmt, tb,
-            nbatches=chunk,
+            nbatches=chunk, interpret=interpret,
         )
         parts.append((pid, dep, pay))
     if use_pallas:
-        from ..render.pallas_merge import dense_from_sorted_rows
+        from ..render.pallas_merge import (
+            SORT_KEYS, TILE, dense_from_sorted_rows,
+        )
 
+        # same sort/merge combination as the single-chip flagship
+        # (render_frame_native): nk3 rows + suffix-free matscatter.
+        # Small shards (few batches per device) cap the row count so
+        # each sorted row still spans >= one TILE of entries (the merge
+        # kernel's window granularity).
         rows = []
         for pid, dep, pay in parts:
-            n = pid.shape[0] // SORT_ROWS
+            srows = min(SORT_ROWS, pid.shape[0] // TILE)
+            while pid.shape[0] % (srows * TILE):
+                srows //= 2
+            n = pid.shape[0] // srows
             rows.append(jax.lax.sort(
-                [pid.reshape(SORT_ROWS, n).astype(jnp.uint32),
-                 dep.reshape(SORT_ROWS, n), pay.reshape(SORT_ROWS, n)],
-                num_keys=1, is_stable=False, dimension=1,
+                [pid.reshape(srows, n).astype(jnp.uint32),
+                 dep.reshape(srows, n), pay.reshape(srows, n)],
+                num_keys=SORT_KEYS, is_stable=False, dimension=1,
             ))
         sp2 = jnp.concatenate([r[0] for r in rows])
         sd2 = jnp.concatenate([r[1] for r in rows])
         sy2 = jnp.concatenate([r[2] for r in rows])
         fb_d, fb_p = dense_from_sorted_rows(sp2, sd2, sy2, size, True,
                                             tile_cols=_wt,
-                                            pay_bits=24)  # BC1 payload
+                                            fully_sorted=SORT_KEYS == 3,
+                                            pay_bits=24,  # BC1 payload
+                                            interpret=interpret)
         return fb_d, fb_p, lod_n, transform, parts
     fb_d, fb_p = sorted_resolve_u64_min_parts(parts, size, True,
                                               use_pallas=False)
@@ -110,7 +122,8 @@ def _pmin_u64(fb_d, fb_p, axis):
 def make_flagship_render(mesh: Mesh, width: int, height: int,
                          use_pallas: bool,
                          points: int = POINTS_PER_THREAD,
-                         fmt: str = "fixed", chunk: int | None = None):
+                         fmt: str = "fixed", chunk: int | None = None,
+                         interpret: bool = False):
     """Sharded color frame over the flagship fbatch pipeline.
 
     Call with a NativeLasData-style dev dict whose per-batch arrays are
@@ -128,7 +141,7 @@ def make_flagship_render(mesh: Mesh, width: int, height: int,
         ck = chunk or min(CHUNK, B_loc)
         fb_d, fb_p, _lod, _t, _parts = _local_frame(
             dev, frame_params, scale, offset_rel, tb, width, height,
-            "color", use_pallas, points, fmt, ck,
+            "color", use_pallas, points, fmt, ck, interpret,
         )
         _dmin, p_min = _pmin_u64(fb_d, fb_p, "dp")
         lin = unswizzle_plane(p_min, width, height)
@@ -151,7 +164,8 @@ def make_flagship_render(mesh: Mesh, width: int, height: int,
 def make_flagship_hqs(mesh: Mesh, width: int, height: int,
                       use_pallas: bool,
                       points: int = POINTS_PER_THREAD,
-                      fmt: str = "fixed", chunk: int | None = None):
+                      fmt: str = "fixed", chunk: int | None = None,
+                      interpret: bool = False):
     """Sharded HQS frame (prepass + tolerance blend + divide resolve).
 
     Single shard_map program: local depth prepass -> dp pmin -> local
@@ -175,7 +189,7 @@ def make_flagship_hqs(mesh: Mesh, width: int, height: int,
         # sorted rows feed both the min-merge and the blend sums
         fb_d, _fb_p, lod_n, transform, parts = _local_frame(
             dev, frame_params, scale, offset_rel, tb, width, height,
-            "hqs", use_pallas, points, fmt, ck,
+            "hqs", use_pallas, points, fmt, ck, interpret,
         )
         fb_depth = jax.lax.pmin(fb_d, "dp")
 
@@ -184,17 +198,22 @@ def make_flagship_hqs(mesh: Mesh, width: int, height: int,
 
             rows = []
             for pid, dep, pay in parts:
-                n = pid.shape[0] // SORT_ROWS
+                from ..render.pallas_merge import TILE
+
+                srows = min(SORT_ROWS, pid.shape[0] // TILE)
+                while pid.shape[0] % (srows * TILE):
+                    srows //= 2
+                n = pid.shape[0] // srows
                 rows.append(jax.lax.sort(
-                    [pid.reshape(SORT_ROWS, n).astype(jnp.uint32),
-                     dep.reshape(SORT_ROWS, n), pay.reshape(SORT_ROWS, n)],
+                    [pid.reshape(srows, n).astype(jnp.uint32),
+                     dep.reshape(srows, n), pay.reshape(srows, n)],
                     num_keys=1, is_stable=False, dimension=1,
                 ))
             sp2 = jnp.concatenate([r[0] for r in rows])
             sd2 = jnp.concatenate([r[1] for r in rows])
             sy2 = jnp.concatenate([r[2] for r in rows])
             acc_r, acc_g, acc_b, acc_n = hqs_sums_from_rows(
-                sp2, sd2, sy2, fb_depth, size,
+                sp2, sd2, sy2, fb_depth, size, interpret=interpret,
                 tile_cols=swizzle_dims(width, height)[0],
             )
         else:

@@ -984,7 +984,8 @@ def build_rows_window_table(sp2d, size: int, wide: int,
                             reread_bits: int = 0, clip: int | None = None,
                             tile_cols: int | None = None,
                             wcap: int | None = None,
-                            rowstride: int | None = None):
+                            rowstride: int | None = None,
+                            win_rows: int = SUBS):
     """Sort-free flat window table over S equal-width sorted rows.
 
     Per-(stream, tile) pair counts come from an MXU one-hot histogram
@@ -1015,6 +1016,13 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     (one small sort of S*clip records) so the flat window order stays
     program-major.
 
+    `win_rows` (static, <= SUBS) is the window size in 128-entry rows:
+    each window holds win_rows*128 consecutive stream entries.  Smaller
+    windows make sparse (row, tile) pairs proportionally cheaper in the
+    matscatter kernel (fewer er iterations) while dense pairs just get
+    more windows at the same total entry count — the kernel must be
+    built with the same win_rows.
+
     Returns (cumwin, wrowtile, nrows, nprog) where wrowtile packs, per
     window, `row << (TPS_BITS + reread_bits) | reread << TPS_BITS |
     local_tile`.  reread_bits=0 (the min-merge kernels: clamp re-reads
@@ -1030,6 +1038,7 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     nrows = S * rowstride
     assert nrows < (1 << (29 - TPS_BITS - reread_bits)), "group too large"
 
+    wents = win_rows * LANES  # entries per window
     grid = ntiles_pad if clip is None else clip
     F = int(np.ceil(np.sqrt(grid + 1)))
     tile = jnp.minimum(sp2d >> 10, jnp.uint32(ntiles)).astype(jnp.int32)
@@ -1064,12 +1073,12 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     s0 = s1 - counts
     first_row_local = s0 // LANES
     span = s1 - first_row_local * LANES
-    nwin = jnp.where(s1 > s0, (span + TILE - 1) // TILE, 0)  # (S, grid)
+    nwin = jnp.where(s1 > s0, (span + wents - 1) // wents, 0)  # (S, grid)
     first_row = first_row_local + (
         jnp.arange(S, dtype=jnp.int32) * rowstride
     )[:, None]
 
-    wmax = S * grid + S * (-(-n // TILE)) + nprog * (wide - 1)
+    wmax = S * grid + S * (-(-n // wents)) + nprog * (wide - 1)
     wtot = wmax if wcap is None else wcap
     gidx = jnp.arange(wtot, dtype=jnp.int32)
 
@@ -1103,7 +1112,7 @@ def build_rows_window_table(sp2d, size: int, wide: int,
         gtile = jnp.where(nwin > 0, gtile, ntiles_pad - 1)
         # windows per global tile (weighted one-hot matmul; per-pair
         # window counts stay < 128 so int8 weights are exact)
-        assert n // TILE + 1 < 128, "row width too large for int8 weights"
+        assert n // wents + 1 < 128, "row width too large for int8 weights"
         F2 = int(np.ceil(np.sqrt(ntiles_pad)))
         g2 = gtile.reshape(-1)
         hi2 = (g2 // F2)[:, None] == jnp.arange(F2, dtype=jnp.int32)
@@ -1167,10 +1176,10 @@ def build_rows_window_table(sp2d, size: int, wide: int,
     own = jnp.cumsum(ehist, dtype=jnp.int32) - 1
     rec = jnp.take(jnp.stack([fval, ex, send]), own, axis=1)
     wf, we, wsend = rec[0], rec[1], rec[2]
-    row = (wf >> 2) + (gidx - we) * SUBS
+    row = (wf >> 2) + (gidx - we) * win_rows
     # clamp: a window never reads across its stream's end (entries
     # there wouldn't be sorted relative to it)
-    rowc = jnp.minimum(jnp.maximum(row, 0), wsend - SUBS)
+    rowc = jnp.minimum(jnp.maximum(row, 0), wsend - win_rows)
     if reread_bits:
         reread = jnp.clip(row - rowc, 0, (1 << reread_bits) - 1)
         wrowtile = (
