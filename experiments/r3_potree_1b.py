@@ -40,6 +40,18 @@ m = ComputeLoopNodes(r, p)
 m.update(r)
 p.load(r)
 
+# compile warmup: the single-dispatch frame (render_frame_nodes_tpu)
+# compiles once for the fixed capacity shapes.  Real deployments warm
+# the executable before streaming; keeping the compile out of the load
+# loop keeps load-time frames bounded by actual per-frame work.
+while p.nodes_loaded == 0 and p.state.name != "LOADED":
+    p.process(r, max_bins=1)
+    time.sleep(0.05)
+t0 = time.perf_counter()
+for _ in range(2):
+    jax.block_until_ready(r.loop(m.update, m.render, frames=1))
+print(f"warmup (compile) {time.perf_counter() - t0:.1f}s", flush=True)
+
 samples = []
 t_start = time.perf_counter()
 last = -1
@@ -75,6 +87,34 @@ for i in range(5):
     best = min(best, time.perf_counter() - t0)
 stats = jax.local_devices()[0].memory_stats() or {}
 peak = stats.get("peak_bytes_in_use", 0)
+if not peak:
+    # axon exposes no allocator stats; take XLA's own allocation plan
+    # for the steady frame executable (arguments include the resident
+    # planes; temps are the transient sorted streams etc.) — a real
+    # number from the compiler, not a guess
+    try:
+        from pcrhpg24_tpu.render.methods.loop_nodes import (
+            CHUNK_PTS, render_frame_nodes_tpu,
+        )
+
+        d = p.dev
+        n_pad = int(d["xyz4"].shape[0])
+        chunk_pts = min(CHUNK_PTS, n_pad)
+        ncap = (n_pad + chunk_pts - 1) // chunk_pts
+        tables = m._per_point_tables(p.num_points_loaded)
+        live_idx = jnp.zeros((ncap,), jnp.int32)
+        lowered = render_frame_nodes_tpu.lower(
+            d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+            tables["bmin_nodes"], tables["bmax_nodes"],
+            jnp.zeros((len(p.nodes) + 1,), jnp.int32),
+            jnp.zeros((4, 4), jnp.float32), live_idx, jnp.int32(0),
+            W, H, ncap, chunk_pts)
+        ma = lowered.compile().memory_analysis()
+        peak = (getattr(ma, "argument_size_in_bytes", 0)
+                + getattr(ma, "output_size_in_bytes", 0)
+                + getattr(ma, "temp_size_in_bytes", 0))
+    except Exception as e:
+        print("memory_analysis failed:", e, flush=True)
 # visible work this frame (the LOD cut's decision, not the resident set)
 nn = p.nodes_loaded
 from pcrhpg24_tpu.render.methods.loop_nodes import node_levels

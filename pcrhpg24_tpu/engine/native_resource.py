@@ -39,6 +39,7 @@ class NativeLasData(Resource):
         self.num_batches_loaded = 0
         self.num_points_loaded = 0
         self.version = self.header.version
+        self.color_fmt = getattr(self.header, "color_fmt", "bc1")
         self.maxw = ((self.header.max_group_words + 127) // 128 + 2) * 128
         self.maxt = (self.header.max_group_words + 127) // 128 + 4
         self.dev: dict[str, jax.Array] = {}
@@ -66,19 +67,27 @@ class NativeLasData(Resource):
         from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
         B = -(-self.num_batches // _NCHUNK) * _NCHUNK
         if self.version == 2:
+            from ..formats.native_file import COLOR_WORDS
+
             self.dev = dict(
                 widths=jnp.zeros((B, 3, G, 128), jnp.int32),
                 streams=jnp.zeros((B, self.maxt, G, 128), jnp.uint32),
                 ptrs=jnp.zeros((B, 1, 64), jnp.int32),
                 starts=jnp.zeros((B, 3, G, 128), jnp.int32),
-                colors=jnp.zeros((B, WORKGROUP_SIZE * 64 // 8), jnp.uint32),
-                # BC1 blocks in the project kernel's layout (block, word,
-                # g, lane) — render/pallas_project.py
-                colors_k=jnp.zeros((B, 4, 2, G, 128), jnp.uint32),
+                colors=jnp.zeros((B, COLOR_WORDS[self.color_fmt]),
+                                 jnp.uint32),
                 bbox_min=jnp.zeros((B, 3), jnp.float32),
                 bbox_max=jnp.zeros((B, 3), jnp.float32),
                 anchor=jnp.zeros((B, 3), jnp.int32),
             )
+            if self.color_fmt == "bc1":
+                # BC1 blocks in the project kernel's layout (block, word,
+                # g, lane) — render/pallas_project.py; the fused
+                # project+BC1 kernel only exists for BC1 (the reference's
+                # default COLOR_COMPRESSION; other formats decode color
+                # on the XLA projection path)
+                self.dev["colors_k"] = jnp.zeros((B, 4, 2, G, 128),
+                                                 jnp.uint32)
         else:
             self.dev = dict(
                 lj=jnp.zeros((B, 1, 32), jnp.int32),
@@ -142,7 +151,7 @@ class NativeLasData(Resource):
                 d[key] = _upload_rows(d[key], start, jnp.asarray(packed[key]))
             colors = np.stack([c for _nb, c in items]).astype(np.uint32)
             d["colors"] = _upload_rows(d["colors"], start, jnp.asarray(colors))
-            if self.version == 2:
+            if self.version == 2 and self.color_fmt == "bc1":
                 from ..render.pallas_project import colors_kernel_layout
 
                 d["colors_k"] = _upload_rows(

@@ -25,6 +25,13 @@ format; same file header, different blobs):
         | i32 start_values[1024*3]
         | u32 stream[8*nwords]
         | u32 color_bc1[num_points/8]
+
+'TPC3' carries a color-format field (reference compile-time option
+COLOR_COMPRESSION 0|1|7, modules/compute/Resources.h:15; GPU decoders
+render.cu:67-154): header gains i64 color_fmt (0 raw RGBA, 1 BC1,
+7 BC7 mode 6) after max_group_words; blobs are v2 blobs whose color
+array is num_points u32 (raw) or num_points/4 u32 (BC7 blocks).
+Plain BC1 files keep the TPC1/TPC2 magic — fully back-compatible.
 """
 
 from __future__ import annotations
@@ -44,6 +51,11 @@ from ..constants import (
 
 MAGIC = b"TPC1"
 MAGIC2 = b"TPC2"
+MAGIC3 = b"TPC3"
+COLOR_FMT_CODES = {"raw": 0, "bc1": 1, "bc7": 7}
+COLOR_FMT_NAMES = {v: k for k, v in COLOR_FMT_CODES.items()}
+# u32 color words per 65536-point batch, by format
+COLOR_WORDS = {"raw": 65536, "bc1": 8192, "bc7": 16384}
 
 
 def batch_to_blob(nb: NativeBatch, color_bc1: np.ndarray) -> bytes:
@@ -83,7 +95,7 @@ def blob_to_batch(buf: bytes) -> tuple[NativeBatch, np.ndarray]:
     streams = []
     for g in range(TPU_GROUPS_PER_BATCH):
         streams.append(take(int(group_len[g]), np.uint32))
-    color = take(POINTS_PER_WORKGROUP // 8, np.uint32)
+    color = take((len(buf) - off) // 4, np.uint32)  # width set by color_fmt
     assert off == len(buf), f"tpc blob size mismatch {off} != {len(buf)}"
 
     lengths = np.repeat(np.arange(13), length_counts)
@@ -133,7 +145,7 @@ def blob_to_batch_v2(buf: bytes) -> tuple[FixedBatch, np.ndarray]:
     streams = take(TPU_GROUPS_PER_BATCH * nwords, np.uint32).reshape(
         TPU_GROUPS_PER_BATCH, nwords
     )
-    color = take(POINTS_PER_WORKGROUP // 8, np.uint32)
+    color = take((len(buf) - off) // 4, np.uint32)  # width set by color_fmt
     assert off == len(buf), f"tpc2 blob size mismatch {off} != {len(buf)}"
     fb = FixedBatch(
         streams=streams, widths=widths, start_values=start_values,
@@ -144,7 +156,8 @@ def blob_to_batch_v2(buf: bytes) -> tuple[FixedBatch, np.ndarray]:
 
 class TpcHeader:
     def __init__(self, num_points, num_batches, max_group_words, scale, offset,
-                 las_min, las_max, batch_sizes, batch_offsets, version=1):
+                 las_min, las_max, batch_sizes, batch_offsets, version=1,
+                 color_fmt="bc1"):
         self.num_points = num_points
         self.num_batches = num_batches
         self.max_group_words = max_group_words
@@ -155,9 +168,11 @@ class TpcHeader:
         self.batch_sizes = batch_sizes
         self.batch_offsets = batch_offsets
         self.version = version
+        self.color_fmt = color_fmt
 
 
-def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
+def write_tpc(path, batches, colors, scale, offset, las_min, las_max,
+              color_fmt="bc1"):
     v2 = batches and isinstance(batches[0], FixedBatch)
     if v2:
         blobs = [batch_to_blob_v2(fb, c) for fb, c in zip(batches, colors)]
@@ -166,9 +181,18 @@ def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
         blobs = [batch_to_blob(nb, c) for nb, c in zip(batches, colors)]
         max_group_words = max(max(len(s_) for s_ in nb.streams) for nb in batches)
     num_points = len(batches) * POINTS_PER_WORKGROUP
+    if color_fmt != "bc1" and not v2:
+        raise ValueError("raw/BC7 colors require v2 (fbatch) blobs")
     with open(path, "wb") as f:
-        f.write(MAGIC2 if v2 else MAGIC)
-        f.write(np.asarray([num_points, len(batches), max_group_words], np.int64).tobytes())
+        if color_fmt == "bc1":
+            f.write(MAGIC2 if v2 else MAGIC)
+            f.write(np.asarray([num_points, len(batches), max_group_words],
+                               np.int64).tobytes())
+        else:
+            f.write(MAGIC3)
+            f.write(np.asarray(
+                [num_points, len(batches), max_group_words,
+                 COLOR_FMT_CODES[color_fmt]], np.int64).tobytes())
         for v in (scale, offset, las_min, las_max):
             f.write(np.asarray(v, np.float64).tobytes())
         f.write(np.asarray([len(b) for b in blobs], np.int64).tobytes())
@@ -179,16 +203,26 @@ def write_tpc(path, batches, colors, scale, offset, las_min, las_max):
 def read_tpc_header(path) -> TpcHeader:
     with open(path, "rb") as f:
         magic = f.read(4)
-        assert magic in (MAGIC, MAGIC2), f"not a TPC file: {magic!r}"
-        num_points, num_batches, max_gw = np.frombuffer(f.read(24), np.int64)
+        assert magic in (MAGIC, MAGIC2, MAGIC3), f"not a TPC file: {magic!r}"
+        cfmt = "bc1"
+        extra = 0
+        if magic == MAGIC3:
+            num_points, num_batches, max_gw, code = np.frombuffer(
+                f.read(32), np.int64)
+            cfmt = COLOR_FMT_NAMES[int(code)]
+            extra = 8
+        else:
+            num_points, num_batches, max_gw = np.frombuffer(
+                f.read(24), np.int64)
         vals = np.frombuffer(f.read(8 * 12), np.float64)
         sizes = np.frombuffer(f.read(8 * num_batches), np.int64)
-    base = 4 + 24 + 96 + 8 * num_batches
+    base = 4 + 24 + extra + 96 + 8 * num_batches
     offsets = base + np.concatenate([[0], np.cumsum(sizes[:-1])])
     return TpcHeader(
         int(num_points), int(num_batches), int(max_gw), vals[0:3], vals[3:6],
         vals[6:9], vals[9:12], sizes, offsets,
-        version=2 if magic == MAGIC2 else 1,
+        version=1 if magic == MAGIC else 2,
+        color_fmt=cfmt,
     )
 
 

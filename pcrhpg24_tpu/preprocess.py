@@ -121,18 +121,34 @@ def preprocess_las(las_path: str, out_path: str, sort: bool = True, verbose=True
 
 
 def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True,
-                       verbose=True, codec: str = "fixed"):
+                       verbose=True, codec: str = "fixed",
+                       color_fmt: str = "bc1"):
     """LAS -> `.tpc` (TPU-native format).
 
     codec="fixed" writes v2 fbatch blobs (fixed-width, fastest decode —
     the flagship format); codec="huffman" writes v1 bucket-Huffman
     tbatch blobs (~13% smaller, slower decode).
+
+    color_fmt selects the color payload encoding — the reference's
+    compile-time COLOR_COMPRESSION 0|1|7 (modules/compute/Resources.h:15)
+    as a per-file option: "bc1" (default, 0.5 B/pt), "bc7" (mode 6,
+    1 B/pt, higher quality), "raw" (4 B/pt, lossless).
     """
     from .codec.fixed import encode_fixed_batch
     from .codec.native import encode_native_batch
     from .formats.native_file import write_tpc
 
     encode = encode_fixed_batch if codec == "fixed" else encode_native_batch
+    if color_fmt == "bc1":
+        cenc = encode_bc1
+    elif color_fmt == "bc7":
+        from .codec.bc7 import encode_bc7 as cenc
+    elif color_fmt == "raw":
+        cenc = lambda c: (np.asarray(c, np.uint32) & 0xFFFFFF)
+    else:
+        raise ValueError(f"unknown color_fmt {color_fmt!r}")
+    if color_fmt != "bc1" and codec != "fixed":
+        raise ValueError("raw/BC7 colors require the fixed (v2) codec")
 
     header = read_header(las_path)
     n_total = header.num_points
@@ -153,12 +169,12 @@ def preprocess_las_tpc(las_path: str, out_path: str, sort: bool = True,
         for s in range(0, len(x), POINTS_PER_WORKGROUP):
             sl = slice(s, s + POINTS_PER_WORKGROUP)
             batches.append(encode(x[sl], y[sl], z[sl]))
-            colors.append(encode_bc1(color[sl]))
+            colors.append(cenc(color[sl]))
         if verbose:
             print(f"tpc chunk {start // MAX_POINTS_PER_BATCH}: {len(batches)} batches")
     write_tpc(
         out_path, batches, colors, header.scale, header.offset,
-        header.cmin, header.cmax,
+        header.cmin, header.cmax, color_fmt=color_fmt,
     )
     if verbose:
         total_words = sum(nb.total_words for nb in batches)
@@ -177,8 +193,9 @@ def main(argv=None):
         return 1
     las_path, out_path = argv[0], argv[1]
     sort = bool(int(argv[2])) if len(argv) > 2 else True
+    color_fmt = argv[3] if len(argv) > 3 else "bc1"
     if out_path.endswith(".tpc"):
-        preprocess_las_tpc(las_path, out_path, sort)
+        preprocess_las_tpc(las_path, out_path, sort, color_fmt=color_fmt)
     else:
         preprocess_las(las_path, out_path, sort)
     return 0

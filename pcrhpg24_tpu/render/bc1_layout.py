@@ -65,6 +65,54 @@ def bc1_payload_native(colors, shape, points: int = 64):
     return jnp.transpose(pay, (0, 3, 1, 2))  # (C, 64, 8, 128)
 
 
+def bc7_payload_native(colors, shape, points: int = 64):
+    """colors (C, 16384) u32 BC7-mode-6 blocks (4 words each) -> payload
+    (C, points, 8, 128) u32 for the native kernel point layout.
+
+    Field extraction mirrors the reference GPU decoder render.cu:122-154
+    (see codec/bc7.py for the bit layout and the anchor-index quirk);
+    weights compute arithmetically as (idx*128 + 15) // 30 ==
+    round(idx*64/15) — exact for idx 0..15, no 16-entry gather."""
+    C = colors.shape[0]
+    blocks = colors.reshape(C, 8, 128, 4, 4).astype(jnp.uint32)
+    i = jnp.arange(points)
+    rep = lambda q: jnp.repeat(blocks[..., q], 16, axis=-1)[..., :points]
+    w0, w1, w2, w3 = rep(0), rep(1), rep(2), rep(3)
+    p0 = w1 >> 31
+    p1 = w2 & 1
+    r0 = (((w0 >> 7) & 0x7F) << 1) | p0
+    r1 = (((w0 >> 14) & 0x7F) << 1) | p1
+    g0 = (((w0 >> 21) & 0x7F) << 1) | p0
+    g1 = ((((w0 >> 28) | (w1 << 4)) & 0x7F) << 1) | p1
+    b0 = (((w1 >> 3) & 0x7F) << 1) | p0
+    b1 = (((w1 >> 10) & 0x7F) << 1) | p1
+    j = (i % 16).astype(jnp.uint32)[None, None, None, :]
+    idx = jnp.where(j < 8, (w2 >> (4 * j)) & 0xF,
+                    (w3 >> (4 * (j - 8))) & 0xF)
+    wgt = (idx * 128 + 15) // 30
+    iw = 64 - wgt
+    r = (r0 * iw + r1 * wgt + 32) >> 6
+    g = (g0 * iw + g1 * wgt + 32) >> 6
+    b = (b0 * iw + b1 * wgt + 32) >> 6
+    pay = (r & 0xFF) | ((g & 0xFF) << 8) | ((b & 0xFF) << 16)
+    return jnp.transpose(pay, (0, 3, 1, 2))  # (C, points, 8, 128)
+
+
+def raw_payload_native(colors, shape, points: int = 64):
+    """colors (C, 65536) u32 raw R|G<<8|B<<16 -> payload
+    (C, points, 8, 128) u32 (reference COLOR_COMPRESSION=0)."""
+    C = colors.shape[0]
+    pay = colors.reshape(C, 8, 128, 64)[..., :points] & 0xFFFFFF
+    return jnp.transpose(pay, (0, 3, 1, 2))
+
+
+PAYLOAD_NATIVE = {
+    "bc1": bc1_payload_native,
+    "bc7": bc7_payload_native,
+    "raw": raw_payload_native,
+}
+
+
 def bc1_payload_reference(colors, shape):
     """colors (C, 8192) u32 -> payload (C, 1024, 64) u32 for the
     reference decoder's point layout."""

@@ -40,7 +40,7 @@ def render_chunk_native(
     width: int, height: int, mode: str, use_pallas: bool = True,
     points: int = POINTS_PER_THREAD, fmt: str = "tbatch", tb=None,
     nbatches: int = CHUNK, interpret: bool = False,
-    chain_collapse: bool = True,
+    chain_collapse: bool = True, color_fmt: str = "bc1",
 ):
     """Decode + project one chunk; returns flat (pid, depth, payload).
 
@@ -64,7 +64,8 @@ def render_chunk_native(
             _slice_rows(dev["starts"], chunk_start, C),
             points=points, **dkw,
         )
-        if use_pallas and mode in ("color", "hqs") and tb is not None:
+        if (use_pallas and mode in ("color", "hqs") and tb is not None
+                and color_fmt == "bc1"):
             # fused projection+BC1+collapse kernel: one pass instead of
             # the multi-materialization XLA stage below (bit-identical,
             # experiments/r3_div_parity.py + the bench resolve gate).
@@ -151,7 +152,13 @@ def render_chunk_native(
             n_chunk.astype(jnp.uint32)[:, None, None, None], shp
         )
     else:
-        payload = bc1_payload_native(colors, shp, points).astype(jnp.uint32)
+        from ..bc1_layout import PAYLOAD_NATIVE
+
+        # color decode by format (reference COLOR_COMPRESSION 0|1|7,
+        # GPU decoders render.cu:67-154); bc1 additionally has the
+        # fused in-kernel decode above
+        payload = PAYLOAD_NATIVE[color_fmt](colors, shp, points).astype(
+            jnp.uint32)
 
     # Within-chain run collapse: Morton order makes consecutive points of
     # a chain (axis 1) land on the same pixel, especially zoomed out.
@@ -187,13 +194,13 @@ def render_chunk_native(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "mode", "use_pallas", "nchunks",
-                     "cull", "points", "need_depth", "fmt"),
+                     "cull", "points", "need_depth", "fmt", "color_fmt"),
 )
 def render_frame_native(
     dev, frame_params, scale, offset_rel,
     width: int, height: int, mode: str, nchunks: int, use_pallas: bool,
     cull: bool, points: int = POINTS_PER_THREAD, need_depth: bool = True,
-    fmt: str = "tbatch", tb=None,
+    fmt: str = "tbatch", tb=None, color_fmt: str = "bc1",
 ):
     """Whole frame in one dispatch: cull/LOD + chunks + one global resolve.
 
@@ -240,6 +247,7 @@ def render_frame_native(
         pid_c, dep_c, pay_c = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
             width, height, mode, use_pallas, points, fmt, tb,
+            color_fmt=color_fmt,
         )
         n = pid_c.shape[0] // SORT_ROWS
         sp, sd, sy = jax.lax.sort(
@@ -370,6 +378,7 @@ class HuffmanTpu(HuffmanMemIter):
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
             points, need_depth, fmt, jnp.asarray(tb),
+            color_fmt=getattr(las, "color_fmt", "bc1"),
         )
         renderer.last_fb = (fb_d, fb_p)
         if Debug.show_bounding_box:

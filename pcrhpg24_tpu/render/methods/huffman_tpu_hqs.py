@@ -45,12 +45,12 @@ def _hqs_frame_setup(dev, frame_params, width, height, cull, points):
 @partial(
     jax.jit,
     static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
-                     "fmt", "points"),
+                     "fmt", "points", "color_fmt"),
 )
 def hqs_prepass_native(dev, frame_params, scale, offset_rel,
                        width: int, height: int, nchunks: int,
                        use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                       tb=None, points: int = 64):
+                       tb=None, points: int = 64, color_fmt: str = "bc1"):
     """HQS stage 1: decode+project+sort every chunk ONCE.
 
     Returns (fb_depth, streams): fb_depth is the dense per-pixel
@@ -71,6 +71,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
             pid, dep, pay = render_chunk_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
                 width, height, "hqs", use_pallas, points, fmt, tb,
+                color_fmt=color_fmt,
             )
             n = pid.shape[0] // SORT_ROWS
             sp, sd, sy = jax.lax.sort(
@@ -101,6 +102,7 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
         pid, dep, _pay = render_chunk_native(
             dev, c * CHUNK, transform, lod_n, scale, offset_rel,
             width, height, "hqs", use_pallas, points, fmt, tb,
+            color_fmt=color_fmt,
         )
         fb_depth = fb_depth.at[pid.astype(jnp.int32)].min(dep, mode="drop")
     return fb_depth, None
@@ -109,12 +111,12 @@ def hqs_prepass_native(dev, frame_params, scale, offset_rel,
 @partial(
     jax.jit,
     static_argnames=("width", "height", "nchunks", "use_pallas", "cull",
-                     "fmt", "points"),
+                     "fmt", "points", "color_fmt"),
 )
 def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
                      streams, width: int, height: int, nchunks: int,
                      use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                     tb=None, points: int = 64):
+                     tb=None, points: int = 64, color_fmt: str = "bc1"):
     """HQS stage 2: tolerance-gated (r,g,b,count) sums + divide resolve.
 
     On the Pallas path `streams` carries stage 1's sorted rows, so this
@@ -141,6 +143,7 @@ def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
             pid, dep, rgba = render_chunk_native(
                 dev, c * CHUNK, transform, lod_n, scale, offset_rel,
                 width, height, "hqs", use_pallas, points, fmt, tb,
+                color_fmt=color_fmt,
             )
             pid = pid.astype(jnp.int32)
             w = jax.lax.bitcast_convert_type(dep, jnp.float32)
@@ -170,7 +173,7 @@ def hqs_blend_native(dev, frame_params, scale, offset_rel, fb_depth,
 def hqs_frame_native(dev, frame_params, scale, offset_rel,
                      width: int, height: int, nchunks: int,
                      use_pallas: bool, cull: bool, fmt: str = "tbatch",
-                     tb=None, points: int = 64):
+                     tb=None, points: int = 64, color_fmt: str = "bc1"):
     """Full HQS frame = prepass + blend, dispatched as TWO jit programs
     (deliberately not jitted itself — see hqs_prepass_native; wrapping
     this in an outer jit would re-inline both into one oversized graph).
@@ -178,11 +181,11 @@ def hqs_frame_native(dev, frame_params, scale, offset_rel,
     """
     fb_depth, streams = hqs_prepass_native(
         dev, frame_params, scale, offset_rel, width, height, nchunks,
-        use_pallas, cull, fmt, tb, points,
+        use_pallas, cull, fmt, tb, points, color_fmt,
     )
     acc_n, img = hqs_blend_native(
         dev, frame_params, scale, offset_rel, fb_depth, streams, width,
-        height, nchunks, use_pallas, cull, fmt, tb, points,
+        height, nchunks, use_pallas, cull, fmt, tb, points, color_fmt,
     )
     return unswizzle_plane(fb_depth, width, height), acc_n, img
 
@@ -228,7 +231,7 @@ class HuffmanTpuHqs(HuffmanTpu):
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
             "fixed" if getattr(las, "version", 1) == 2 else "tbatch", tb,
-            points,
+            points, getattr(las, "color_fmt", "bc1"),
         )
         renderer.last_fb = (fb_depth, acc_n)
         return img
