@@ -130,6 +130,9 @@ def main(argv=None):
     ap.add_argument("--depth", default=None)
     ap.add_argument("--colorize-chunks", action="store_true")
     ap.add_argument("--colorize-overdraw", action="store_true")
+    ap.add_argument("--edl", action="store_true",
+                    help="eye-dome lighting in the resolve "
+                         "(resolve.cs:143-188)")
     ap.add_argument("--show-num-points", action="store_true")
     ap.add_argument("--no-frustum-culling", action="store_true")
     ap.add_argument("--show-bounding-box", action="store_true")
@@ -147,6 +150,7 @@ def main(argv=None):
     Debug.lod = args.lod
     Debug.colorize_chunks = args.colorize_chunks
     Debug.colorize_overdraw = args.colorize_overdraw
+    Debug.edl = args.edl
     Debug.show_num_points = args.show_num_points
     Debug.frustum_culling_enabled = not args.no_frustum_culling
     Debug.show_bounding_box = args.show_bounding_box

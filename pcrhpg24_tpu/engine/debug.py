@@ -20,6 +20,11 @@ class Debug:
     colorize_overdraw: bool = False
     show_num_points: bool = False
     save_depth_map: bool = False
+    # eye-dome lighting in the resolve (reference:
+    # modules/compute_loop_las/resolve.cs:143-188, shipped disabled
+    # there; --edl here)
+    edl: bool = False
+    edl_strength: float = 0.0005
 
     frame_stats: list[tuple[str, str]] = []
     values: dict[str, str] = {}

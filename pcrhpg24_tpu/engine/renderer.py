@@ -74,6 +74,15 @@ class Renderer:
                     update(self)
                 with self.timings.span("render"):
                     img = render(self)
+                    if (Debug.edl and img is not None
+                            and self.last_fb is not None
+                            and self.last_fb[0] is not None):
+                        from ..render.raster import edl_shade
+
+                        img = edl_shade(
+                            img, self.last_fb[0].reshape(-1),
+                            self.width, self.height, Debug.edl_strength,
+                        )
                     if block and img is not None:
                         jax.block_until_ready(img)
             self.last_image = img

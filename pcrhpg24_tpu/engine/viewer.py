@@ -9,6 +9,10 @@ rendered PNG frames from the offscreen loop.  Method switching and the
 Debug toggles (colorize modes, LOD slider) are exposed as query
 parameters — the ImGui panel's role.
 
+The HUD also shows live per-phase frame timings (min/avg/max rows from
+engine/timing.Timings, polled from /timings) — the reference's
+scrolling perf plot + timing table (src/Renderer.cpp:371-459).
+
 Run:  python -m pcrhpg24_tpu.app --scene scene.tpc --serve 8000
 then open http://localhost:8000/
 """
@@ -27,19 +31,28 @@ _PAGE = """<!doctype html>
 <html><head><title>pcrhpg24-tpu viewer</title><style>
  body{margin:0;background:#111;color:#ccc;font:13px monospace}
  #hud{position:fixed;top:8px;left:8px;background:#000a;padding:6px 10px}
+ #tm{position:fixed;top:8px;right:8px;background:#000a;padding:6px 10px;
+     white-space:pre;text-align:right}
  img{display:block;width:100vw;height:100vh;object-fit:contain;
      image-rendering:pixelated}
 </style></head><body>
 <div id="hud">drag: orbit &middot; wheel: zoom &middot; keys: m method,
- c chunks, o overdraw &middot; <span id="st"></span></div>
+ c chunks, o overdraw, e EDL &middot; <span id="st"></span></div>
+<div id="tm"></div>
 <img id="v">
 <script>
-let yaw=0.5,pitch=-0.7,radius=null,mi=0,mode="";
+let yaw=0.5,pitch=-0.7,radius=null,mi=0,mode="",edl=0;
 let dragging=false,lx=0,ly=0,busy=false,dirty=true;
 const img=document.getElementById("v"),st=document.getElementById("st");
 fetch("/info").then(r=>r.json()).then(j=>{radius=j.radius;loop();});
 function url(){return `/frame?yaw=${yaw}&pitch=${pitch}&radius=${radius}`+
-  `&method=${mi}&mode=${mode}`;}
+  `&method=${mi}&mode=${mode}&edl=${edl}`;}
+const tm=document.getElementById("tm");
+async function pollT(){try{const j=await(await fetch("/timings")).json();
+  tm.textContent=j.rows.map(r=>`${r.label.padEnd(10)} `+
+    `${r.min.toFixed(1)}/${r.avg.toFixed(1)}/${r.max.toFixed(1)} ms`)
+    .join("\n");}catch(e){}setTimeout(pollT,800);}
+pollT();
 async function loop(){
   if(dirty&&!busy){busy=true;dirty=false;const t0=performance.now();
     const r=await fetch(url());const b=await r.blob();
@@ -58,7 +71,8 @@ window.onwheel=e=>{radius*=e.deltaY>0?1.15:0.87;dirty=true;};
 window.onkeydown=e=>{
   if(e.key=="m"){mi++;dirty=true;}
   if(e.key=="c"){mode=mode=="chunks"?"":"chunks";dirty=true;}
-  if(e.key=="o"){mode=mode=="overdraw"?"":"overdraw";dirty=true;}};
+  if(e.key=="o"){mode=mode=="overdraw"?"":"overdraw";dirty=true;}
+  if(e.key=="e"){edl=1-edl;dirty=true;}};
 </script></body></html>"""
 
 
@@ -97,18 +111,21 @@ class ViewerServer:
         c.radius = float(params.get("radius", [c.radius])[0])
         mi = int(params.get("method", ["0"])[0]) % len(self.methods)
         mode = params.get("mode", [""])[0]
+        edl = params.get("edl", ["0"])[0] == "1"
         method = self.methods[mi]
-        key = (c.yaw, c.pitch, c.radius, mi, mode)
+        key = (c.yaw, c.pitch, c.radius, mi, mode, edl)
         with self._lock:
-            old = (Debug.colorize_chunks, Debug.colorize_overdraw)
+            old = (Debug.colorize_chunks, Debug.colorize_overdraw, Debug.edl)
             Debug.colorize_chunks = mode == "chunks"
             Debug.colorize_overdraw = mode == "overdraw"
+            Debug.edl = edl
             try:
                 img = r.loop(method.update, method.render, frames=1,
                              block=False)
                 rgb_dev = image_to_rgb8(img)
             finally:
-                Debug.colorize_chunks, Debug.colorize_overdraw = old
+                (Debug.colorize_chunks, Debug.colorize_overdraw,
+                 Debug.edl) = old
             prev, self._pending = self._pending, (key, rgb_dev, method.name)
             if prev is not None and prev[0] != key:
                 rgb, name, stale = np.asarray(prev[1]), prev[2], True
@@ -135,6 +152,16 @@ class ViewerServer:
                             "radius": viewer.renderer.controls.radius,
                             "methods": [m.name for m in viewer.methods],
                         }).encode()
+                        ctype = "application/json"
+                        headers = {}
+                    elif u.path == "/timings":
+                        t = viewer.renderer.timings
+                        rows = [
+                            dict(label=lbl, min=s.min, avg=s.avg,
+                                 max=s.max, n=s.count)
+                            for lbl, s in sorted(t.stats.items())
+                        ]
+                        body = json.dumps({"rows": rows}).encode()
                         ctype = "application/json"
                         headers = {}
                     elif u.path == "/frame":

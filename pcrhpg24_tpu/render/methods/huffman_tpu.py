@@ -363,7 +363,7 @@ class HuffmanTpu(HuffmanMemIter):
         _, lod_full = self.frame_setup(renderer)
         max_lod = int(lod_full.max()) if B else POINTS_PER_THREAD
         points = max(16, -(-max_lod // 16) * 16)
-        need_depth = bool(getattr(renderer, "capture_depth", False))
+        need_depth = bool(getattr(renderer, "capture_depth", False)) or Debug.edl
         fmt = "fixed" if getattr(las, "version", 1) == 2 else "tbatch"
         # per-batch folded translations: the reference's f64 close-up
         # precision (render.cu:459-461), O(batches) host f64 per frame

@@ -218,6 +218,36 @@ def resolve(fb_payload, width: int, height: int):
     return color.reshape(height, width)
 
 
+@partial(jax.jit, static_argnames=("width", "height"))
+def edl_shade(img, fb_d, width: int, height: int, strength=0.0005):
+    """Eye-dome lighting: darken pixels occluded by nearer neighbors.
+
+    Mirrors the reference resolve's EDL block
+    (modules/compute_loop_las/resolve.cs:143-188): per pixel, sum
+    max(0, depth - neighbourDepth) over the 3x3 neighborhood, response
+    = sum/9, shade = exp(-response * 300 * strength), RGB *= shade.
+    Empty neighbors contribute no occlusion (depth +inf); empty pixels
+    keep the background color.  `img` (H, W) u32, `fb_d` (W*H,) u32
+    depth bits in LINEAR pixel space.
+    """
+    bits = fb_d.reshape(height, width)
+    d = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    empty = bits == EMPTY
+    d = jnp.where(empty, jnp.inf, d)
+    pad = jnp.pad(d, 1, constant_values=jnp.inf)
+    s = jnp.zeros_like(d)
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            nb = pad[1 + oy : 1 + oy + height, 1 + ox : 1 + ox + width]
+            s = s + jnp.maximum(0.0, d - nb)
+    shade = jnp.exp(-(s / 9.0) * 300.0 * jnp.float32(strength))
+    ch = lambda sh: jnp.minimum(
+        ((img >> sh) & 0xFF).astype(jnp.float32) * shade, 255.0
+    ).astype(jnp.uint32)
+    shaded = ch(0) | (ch(8) << 8) | (ch(16) << 16)
+    return jnp.where(empty, img, shaded)
+
+
 def image_to_rgb8(image_u32):
     """(H,W) u32 (R | G<<8 | B<<16) -> (H,W,3) u8, flipped to y-down."""
     img = image_u32[::-1]

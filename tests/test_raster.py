@@ -98,3 +98,33 @@ def test_resolve_background():
     img = np.asarray(resolve(fbp, W, H))
     assert img[0, 5] == 0x00112233
     assert img[1, 1] == 0x00443322
+
+
+def test_edl_shade_flat_and_edge():
+    """EDL (resolve.cs:143-188 semantics): flat depth -> unchanged;
+    at a step edge only the FAR side darkens; background untouched."""
+    import jax.numpy as jnp
+
+    from pcrhpg24_tpu.render.raster import EMPTY, edl_shade
+
+    W, H = 16, 8
+    img = np.full((H, W), 0x00808080, np.uint32)
+    # flat plane depth 10.0 everywhere
+    d = np.full(H * W, np.float32(10.0).view(np.uint32).item(), np.uint32)
+    out = np.asarray(edl_shade(jnp.asarray(img), jnp.asarray(d), W, H))
+    np.testing.assert_array_equal(out, img)
+
+    # left half depth 10, right half depth 40; one background pixel
+    dv = np.full((H, W), 10.0, np.float32)
+    dv[:, W // 2:] = 40.0
+    db = dv.view(np.uint32).copy()
+    db[0, 0] = EMPTY
+    img[0, 0] = 0x00443322
+    out = np.asarray(edl_shade(jnp.asarray(img), jnp.asarray(db.reshape(-1)),
+                               W, H))
+    assert out[0, 0] == 0x00443322  # background kept
+    # far side of the edge darkens, near side does not
+    assert (out[2, W // 2] & 0xFF) < 0x80
+    assert out[2, W // 2 - 1] == 0x00808080
+    # interior of the far half (no nearer neighbor) unchanged
+    assert out[2, W // 2 + 2] == 0x00808080
