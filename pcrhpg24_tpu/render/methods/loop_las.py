@@ -114,6 +114,40 @@ def project_rows_101010_nodes(
     )
 
 
+@partial(jax.jit, static_argnames=("width", "height", "rows"))
+def project_rows_101010_planes(
+    xyz4, xyz8, xyz12, code_pt, bmi, bma, transform,
+    base_index, width: int, height: int, rows: int,
+):
+    """Plane-input variant of project_rows_101010_nodes: per-point
+    node attributes arrive as materialized planes (code_pt i32 plane;
+    bmi/bma 3-tuples of f32 planes) instead of node-table gathers —
+    the gather-free path render_frame_nodes_tpu builds them from
+    per-node XOR-deltas (TPU gathers run ~0.13 Gelem/s; at 300M
+    resident points the gathers alone were ~14 s/frame)."""
+    from ..raster import swizzle_dims, swizzle_pid
+
+    lvl = code_pt >> 1
+    vis = (code_pt & 1) == 1
+    pid, depth, payload = _project_101010(
+        xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
+        width, height, vis,
+    )
+    _wt, _ht, size = swizzle_dims(width, height)
+    lin = jnp.clip(pid, 0, width * height - 1)
+    px = lin % width
+    py = lin // width
+    spid = jnp.where(pid < width * height,
+                     swizzle_pid(px, py, width).astype(jnp.uint32),
+                     jnp.uint32(size))
+    n = spid.shape[0] // rows
+    return jax.lax.sort(
+        [spid.reshape(rows, n), depth.reshape(rows, n),
+         payload.reshape(rows, n)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+
+
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(9, 10))
 def raster_chunk_101010_nodes(
     xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,

@@ -21,7 +21,7 @@ from ..camera import batches_in_frustum, frustum_planes
 from ..raster import EMPTY, resolve
 from .loop_las import (
     SORT_SEG,
-    project_rows_101010_nodes,
+    project_rows_101010_planes,
     raster_chunk_101010_nodes,
     resolve_indexed,
 )
@@ -38,14 +38,42 @@ CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 from functools import partial as _partial
 
 
+def _xor_prefix_scan(p):
+    """Inclusive XOR prefix scan over a flat i32 plane.
+
+    Two-level doubling scan (rows of 4096, then a tiny row-total scan)
+    — log2(4096)+log2(n1) simple shift+xor passes with a flat graph.
+    jax.lax.associative_scan's recursive odd/even lowering blew the
+    XLA TPU compile budget (>15 min) at 5M+ elements inside the
+    chunked frame scan; this compiles in seconds.
+    """
+    n = p.shape[0]
+    n2 = 4096 if n % 4096 == 0 else 1024
+    assert n % n2 == 0, n
+    n1 = n // n2
+    x = p.reshape(n1, n2)
+    s = 1
+    while s < n2:
+        x = x ^ jnp.pad(x, ((0, 0), (s, 0)))[:, :n2]
+        s *= 2
+    t = x[:, -1]
+    s = 1
+    while s < n1:
+        t = t ^ jnp.pad(t, (s, 0))[:n1]
+        s *= 2
+    texc = jnp.pad(t, (1, 0))[:n1]  # exclusive row-total scan
+    return (x ^ texc[:, None]).reshape(-1)
+
+
 @_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
                                     "interpret"))
 def render_frame_nodes_tpu(
-    xyz4, xyz8, xyz12, nid_pt, bmin_nodes, bmax_nodes, code_nodes, wvp,
+    xyz4, xyz8, xyz12, starts_d, code_delta, bmin_delta, bmax_delta,
+    base_code, base_bmin, base_bmax, wvp,
     live_idx, n_live, width: int, height: int, ncap: int, chunk_pts: int,
     interpret: bool = False,
 ):
-    """Whole steady-state Potree frame in ONE dispatch.
+    """Whole steady-state Potree frame in ONE dispatch, gather-free.
 
     `lax.scan` over a fixed-capacity list of live chunk indices, each
     step slicing `chunk_pts` points, projecting them node-relative,
@@ -54,8 +82,18 @@ def render_frame_nodes_tpu(
     analogue of the reference dispatching workgroups only for accepted
     nodes, compute_loop_nodes.h:150-186).  Round 3 issued ~130 eager
     device calls per 300M-point frame; through the axon tunnel each
-    call pays ~100 ms RTT, which was the entire 14.9 s steady frame —
-    the device work itself is sub-second.
+    call pays ~100 ms RTT — and its per-point node-attribute GATHERS
+    (bmin/bmax/code by node id, 7 x 16.7M per chunk at ~0.13 Gelem/s)
+    were themselves ~14 s/frame of device time at 300M resident.
+
+    Per-point node attributes instead reconstruct from per-NODE deltas:
+    node ids are sorted, so each attribute is a step function over the
+    point axis — scatter each node's XOR-delta at its start position
+    and a single XOR prefix scan rebuilds the attribute plane
+    BIT-EXACTLY (XOR telescopes for f32 bit patterns too, unlike a sum
+    of float deltas).  `starts_d`/`*_delta` carry the per-node start
+    positions and deltas; `base_*` carry, per chunk, the cumulative
+    value just before the chunk's first point.
     """
     from ..pallas_merge import dense_from_sorted_rows
     from ..raster import swizzle_dims
@@ -66,14 +104,31 @@ def render_frame_nodes_tpu(
 
     def do_chunk(carry, g):
         fbd, fbp = carry
-        s = live_idx[g] * chunk_pts
+        c = live_idx[g]
+        s = c * chunk_pts
         # clamp so the slice stays in-bounds; base_index follows the
-        # clamped start so payload indices stay correct
+        # clamped start so payload indices stay correct (base_* arrays
+        # are precomputed against the same clamped starts)
         s = jnp.minimum(s, n_pad - chunk_pts).astype(jnp.int32)
         sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk_pts,))
-        sp, sd, sy = project_rows_101010_nodes(
-            sl(xyz4), sl(xyz8), sl(xyz12), sl(nid_pt),
-            bmin_nodes, bmax_nodes, code_nodes, wvp,
+        idx = starts_d - s
+        # negative scatter indices WRAP in XLA — clamp them to an
+        # out-of-bounds value so mode="drop" really drops them
+        idx = jnp.where(idx < 0, chunk_pts, idx)
+
+        def plane(deltas, base):
+            p = jnp.zeros((chunk_pts,), jnp.int32).at[idx].add(
+                deltas, mode="drop")
+            return base ^ _xor_prefix_scan(p)
+
+        code_pt = plane(code_delta, base_code[c])
+        f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
+                    for k in range(3))
+        bma = tuple(f32(plane(bmax_delta[:, k], base_bmax[c, k]))
+                    for k in range(3))
+        sp, sd, sy = project_rows_101010_planes(
+            sl(xyz4), sl(xyz8), sl(xyz12), code_pt, bmi, bma, wvp,
             s.astype(jnp.uint32), width, height, rows=rows,
         )
         gd, gp = dense_from_sorted_rows(
@@ -179,10 +234,78 @@ class ComputeLoopNodes(Method):
         else:
             bmin_nodes = self._pt_cache[1]["bmin_nodes"]
             bmax_nodes = self._pt_cache[1]["bmax_nodes"]
-        tables = dict(nid_pt=nid_pt, bmin_nodes=bmin_nodes,
-                      bmax_nodes=bmax_nodes, starts=starts)
+        # gather-free attribute reconstruction (render_frame_nodes_tpu):
+        # per-node XOR-deltas scattered at node starts + an XOR prefix
+        # scan rebuild per-point attribute planes bit-exactly; unused
+        # capacity slots park their start at n_pad (out of every
+        # chunk's range), and a sentinel delta at the total-points
+        # position zeroes attributes over the pad region.
+        cap2 = cap + 2
+        starts_dv = np.full(cap2, n_pad, np.int64)
+        starts_dv[: nn + 1] = starts
+
+        def xor_deltas(bits):  # (nn, 3) i32 -> (cap2, 3)
+            d = np.zeros((cap2, 3), np.int32)
+            if nn:
+                d[0] = bits[0]
+                d[1:nn] = bits[1:] ^ bits[:-1]
+                d[nn] = bits[nn - 1]  # ^ value -> 0 past the last point
+            return d
+
+        bbits_min = np.ascontiguousarray(
+            p.bbox_min[:nn], np.float32).view(np.int32)
+        bbits_max = np.ascontiguousarray(
+            p.bbox_max[:nn], np.float32).view(np.int32)
+        chunk_pts = min(CHUNK_PTS, n_pad)
+        ncap = (n_pad + chunk_pts - 1) // chunk_pts
+        total = int(starts[nn]) if nn else 0
+        # per chunk: the node covering the point just before the
+        # chunk's (clamped) start — its attribute value is the XOR
+        # base for the in-chunk scan
+        base_node = np.full(ncap, -1, np.int64)
+        for c in range(ncap):
+            s_c = min(c * chunk_pts, n_pad - chunk_pts)
+            if s_c > 0 and s_c - 1 < total:
+                base_node[c] = np.searchsorted(
+                    starts, s_c - 1, side="right") - 1
+
+        def base_vals(bits):  # (nn, 3) -> (ncap, 3) i32
+            b = np.zeros((ncap, 3), np.int32)
+            ok = (base_node >= 0) & (base_node < nn)
+            if nn:
+                b[ok] = bits[base_node[ok]]
+            return b
+
+        tables = dict(
+            nid_pt=nid_pt, bmin_nodes=bmin_nodes, bmax_nodes=bmax_nodes,
+            starts=starts,
+            starts_d=jnp.asarray(starts_dv.astype(np.int32)),
+            bmin_delta=jnp.asarray(xor_deltas(bbits_min)),
+            bmax_delta=jnp.asarray(xor_deltas(bbits_max)),
+            base_bmin=jnp.asarray(base_vals(bbits_min)),
+            base_bmax=jnp.asarray(base_vals(bbits_max)),
+            base_node=base_node, nn=nn, cap2=cap2,
+            chunk_pts=chunk_pts, ncap=ncap,
+        )
         self._pt_cache = (n_loaded, tables)
         return tables
+
+    def _frame_code_deltas(self, code, tables):
+        """Per-frame (code_delta (cap2,), base_code (ncap,)) arrays for
+        the XOR-scan reconstruction (code = level<<1 | vis per node)."""
+        nn, cap2 = tables["nn"], tables["cap2"]
+        cv = np.asarray(code[:nn], np.int32)
+        d = np.zeros(cap2, np.int32)
+        if nn:
+            d[0] = cv[0]
+            d[1:nn] = cv[1:] ^ cv[:-1]
+            d[nn] = cv[nn - 1]
+        bn = tables["base_node"]
+        b = np.zeros(len(bn), np.int32)
+        ok = (bn >= 0) & (bn < nn)
+        if nn:
+            b[ok] = cv[bn[ok]]
+        return jnp.asarray(d), jnp.asarray(b)
 
     def _frame_codes(self, level, vis, cap):
         """(level*2|vis) per node, padded to the fixed node capacity."""
@@ -248,14 +371,16 @@ class ComputeLoopNodes(Method):
             # associative over any partition)
             from ..raster import unswizzle_plane
 
-            chunk_pts = min(CHUNK_PTS, n_pad)
-            ncap = (n_pad + chunk_pts - 1) // chunk_pts
+            chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
             live_idx = np.zeros(ncap, np.int32)
             live_idx[: len(live)] = live
+            code_delta, base_code = self._frame_code_deltas(
+                np.asarray(code_nodes), tables)
             if len(live):
                 fbd, fbp = render_frame_nodes_tpu(
-                    d["xyz4"], d["xyz8"], d["xyz12"], nid_pt,
-                    tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
+                    d["xyz4"], d["xyz8"], d["xyz12"], tables["starts_d"],
+                    code_delta, tables["bmin_delta"], tables["bmax_delta"],
+                    base_code, tables["base_bmin"], tables["base_bmax"],
                     wvp, jnp.asarray(live_idx), jnp.int32(len(live)),
                     W, H, ncap, chunk_pts,
                 )

@@ -209,9 +209,19 @@ def test_rows_resolve_matches_scatter(potree_dir):
         render_frame_nodes_tpu,
     )
 
-    chunk_pts = SORT_SEG  # small chunks force a multi-step scan
-    ncap = n_pad // chunk_pts
-    assert ncap >= 2
+    # small chunks force a multi-step scan with real chunk skipping;
+    # rebuild the per-chunk XOR bases for this chunk size
+    import pcrhpg24_tpu.render.methods.loop_nodes as ln
+
+    m._pt_cache = None
+    old_chunk = ln.CHUNK_PTS
+    ln.CHUNK_PTS = SORT_SEG
+    try:
+        tables = m._per_point_tables(p.num_points_loaded)
+    finally:
+        ln.CHUNK_PTS = old_chunk
+    chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
+    assert chunk_pts == SORT_SEG and ncap >= 2
     starts_, counts_ = tables["starts"], p.node_count[:nn]
     live_mask = np.zeros(ncap, bool)
     for i in np.flatnonzero(vis):
@@ -221,11 +231,14 @@ def test_rows_resolve_matches_scatter(potree_dir):
     live = np.flatnonzero(live_mask)
     live_idx = np.zeros(ncap, np.int32)
     live_idx[: len(live)] = live
+    code_delta, base_code = m._frame_code_deltas(np.asarray(codes), tables)
     sfd, sfp = render_frame_nodes_tpu(
-        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
-        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["starts_d"],
+        code_delta, tables["bmin_delta"], tables["bmax_delta"],
+        base_code, tables["base_bmin"], tables["base_bmax"], wvp,
         jnp.asarray(live_idx), jnp.int32(len(live)), W, H, ncap,
         chunk_pts, interpret=True)
+    m._pt_cache = None  # drop the SORT_SEG-sized cache
     np.testing.assert_array_equal(
         np.asarray(unswizzle_plane(sfp, W, H)), np.asarray(fb_p))
     np.testing.assert_array_equal(

@@ -59,3 +59,33 @@ def test_batch_stats(las_path, tmp_path):
     rep = scene_stats(tpc)
     assert "#batches: 2" in rep
     assert "geometry compression" in rep
+
+
+def test_buildup_perf_strategies(tmp_path):
+    """CPU octree buildup strategies (main_buildup_perf port): every
+    strategy must ingest all points into the same octree shape."""
+    import numpy as np
+
+    from pcrhpg24_tpu.formats.las import write_las
+    from pcrhpg24_tpu.tools.buildup_perf import get_lib, run_strategy
+    from pcrhpg24_tpu.utils.synthetic import cloud_to_grid, terrain_cloud
+
+    xyz, rgb = terrain_cloud(300_000, seed=4, extent=500.0)
+    grid = cloud_to_grid(xyz)
+    las = str(tmp_path / "b.las")
+    write_las(las, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+    from pcrhpg24_tpu.formats.las import read_header, read_points
+
+    hdr = read_header(las)
+    pts = read_points(las, 0, hdr.num_points)
+    w = np.stack([
+        pts.x * hdr.scale[0] + hdr.offset[0],
+        pts.y * hdr.scale[1] + hdr.offset[1],
+        pts.z * hdr.scale[2] + hdr.offset[2],
+    ], axis=1)
+    bbox = np.concatenate([np.asarray(hdr.cmin), np.asarray(hdr.cmax) + 1e-9])
+    lib = get_lib()
+    rs = [run_strategy(lib, w, bbox, s, 2) for s in range(4)]
+    nodes = {r["nodes"] for r in rs}
+    assert len(nodes) == 1, rs  # same tree shape from every strategy
+    assert all(r["mpts_per_s"] > 0 for r in rs)
