@@ -103,10 +103,12 @@ if not peak:
         ncap = (n_pad + chunk_pts - 1) // chunk_pts
         tables = m._per_point_tables(p.num_points_loaded)
         live_idx = jnp.zeros((ncap,), jnp.int32)
+        cap2 = tables["cap2"]
         lowered = render_frame_nodes_tpu.lower(
-            d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
-            tables["bmin_nodes"], tables["bmax_nodes"],
-            jnp.zeros((len(p.nodes) + 1,), jnp.int32),
+            d["xyz4"], d["xyz8"], d["xyz12"], tables["starts_d"],
+            jnp.zeros((cap2,), jnp.int32), tables["bmin_delta"],
+            tables["bmax_delta"], jnp.zeros((ncap,), jnp.int32),
+            tables["base_bmin"], tables["base_bmax"],
             jnp.zeros((4, 4), jnp.float32), live_idx, jnp.int32(0),
             W, H, ncap, chunk_pts)
         ma = lowered.compile().memory_analysis()
