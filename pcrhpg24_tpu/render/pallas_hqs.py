@@ -182,6 +182,127 @@ def _hqs_sum_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int,
         outn_ref[sl, :] = acc[k * 4 + 3]
 
 
+def _hqs_matscatter_kernel(cumwin_ref, wrowtile_ref, *rest, nrows: int):
+    """MXU scatter-matmul HQS sum kernel (round 4).
+
+    The probe+suffix-sum kernel above costs ~1.45 us/window (binary
+    search + 10 segmented roll-add steps per plane are serial chains);
+    SUMS are the natural one-hot matmul case — no head masking, no
+    search: every accepted entry contributes its (r, g, b, 1) through
+    the factorized one-hot scatter
+
+        OUT[q, pr, pc] = sum_k accept[k] (hi[k]==pr)(lo[k]==pc) V_q[k]
+
+    with the accept mask (tile range + reread drop + depth tolerance)
+    folded into the sublane index like matscatter's head fold.  All
+    products are bf16-exact (bytes), per-window per-pixel sums stay
+    < 2^18 so the f32 accumulation is exact, and i32 adds across
+    windows match the old kernel bit-for-bit.  ~0.4 us/window
+    (experiments/r4_hqs_parts.py: blend 8.15 -> see NOTES).
+    """
+    (spid_hbm, sdep_hbm, spay_hbm, fbd_ref,
+     outr_ref, outg_ref, outb_ref, outn_ref,
+     wpid, wdep, wpay, sems) = rest
+    prog = pl.program_id(0)
+    zero = jnp.zeros((SUBS, LANES), jnp.int32)
+    sr8 = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    flat = sr8 * LANES + jax.lax.broadcasted_iota(
+        jnp.int32, (SUBS, LANES), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    t0 = prog * TPS
+    lo_w = cumwin_ref[t0]
+    hi_w = cumwin_ref[t0 + TPS]
+
+    def dma(g, slot):
+        r0 = jnp.minimum(wrowtile_ref[g] >> (TPS_BITS + 3), nrows - SUBS)
+        return [
+            pltpu.make_async_copy(
+                spid_hbm.at[pl.ds(r0, SUBS), :], wpid.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                spay_hbm.at[pl.ds(r0, SUBS), :], wpay.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                sdep_hbm.at[pl.ds(r0, SUBS), :], wdep.at[slot],
+                sems.at[slot, 2]),
+        ]
+
+    for r in range(RING):
+        @pl.when(lo_w + r < hi_w)
+        def _fill(r=r):
+            for c in dma(lo_w + r, r):
+                c.start()
+
+    from .pallas_merge import _rows_of
+
+    fbd_rows = [_rows_of(fbd_ref[k * SUBS:(k + 1) * SUBS, :])
+                for k in range(TPS)]
+
+    def one(g, slot):
+        for c in dma(g, slot):
+            c.wait()
+        lt = wrowtile_ref[g] & (TPS - 1)
+        lpid = wpid[slot] - (t0 + lt) * TILE
+        lpid_c = jnp.clip(lpid, 0, TILE - 1)
+        fbd_here = _flat_gather(fbd_rows[0], lpid_c)
+        for k in range(1, TPS):
+            fbd_here = jnp.where(
+                lt == k, _flat_gather(fbd_rows[k], lpid_c), fbd_here)
+        old = jax.lax.bitcast_convert_type(fbd_here, jnp.float32)
+        w = jax.lax.bitcast_convert_type(wdep[slot], jnp.float32)
+        reread = ((wrowtile_ref[g] >> TPS_BITS) & 7) * LANES
+        accept = ((lpid == lpid_c) & (flat >= reread)
+                  & (w <= old * jnp.float32(1.01)))
+        hi3 = jnp.where(accept, jnp.right_shift(lpid_c, 7), -1)
+        lo7 = jnp.bitwise_and(lpid_c, LANES - 1)
+        pay = wpay[slot]
+        cvs = [
+            jnp.bitwise_and(pay, 255),
+            jnp.bitwise_and(jnp.right_shift(pay, 8), 255),
+            jnp.bitwise_and(jnp.right_shift(pay, 16), 255),
+            jnp.full((SUBS, LANES), 1, jnp.int32),
+        ]
+        bc = lambda x, er: jax.lax.broadcast_in_dim(
+            x[er:er + 1, :], (SUBS, LANES), (0, 1))
+        bcl = lambda x, er: jax.lax.broadcast_in_dim(
+            x[er:er + 1, :], (LANES, LANES), (0, 1))
+        OUT = None
+        for er in range(SUBS):
+            C = (bcl(lo7, er) == sub_iota).astype(jnp.bfloat16)
+            m8 = (bc(hi3, er) == sr8).astype(jnp.bfloat16)
+            rows = [m8 * bc(cvs[q], er).astype(jnp.bfloat16)
+                    for q in range(4)]
+            A = jnp.concatenate(rows, axis=0)  # (32, 128)
+            d = jax.lax.dot_general(
+                A, C, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            OUT = d if OUT is None else OUT + d
+        conv = OUT.astype(jnp.int32)
+        return lt, [conv[q * SUBS:(q + 1) * SUBS, :] for q in range(4)]
+
+    def body(g, acc):
+        slot = jax.lax.rem(g - lo_w, RING)
+        lt, got = one(g, slot)
+
+        @pl.when(g + RING < hi_w)
+        def _prefetch():
+            for c in dma(g + RING, slot):
+                c.start()
+
+        return tuple(
+            acc[k * 4 + j] + jnp.where(lt == k, got[j], 0)
+            for k in range(TPS) for j in range(4)
+        )
+
+    acc = jax.lax.fori_loop(lo_w, hi_w, body, (zero,) * (4 * TPS))
+    for k in range(TPS):
+        sl = slice(k * SUBS, (k + 1) * SUBS)
+        outr_ref[sl, :] = acc[k * 4 + 0]
+        outg_ref[sl, :] = acc[k * 4 + 1]
+        outb_ref[sl, :] = acc[k * 4 + 2]
+        outn_ref[sl, :] = acc[k * 4 + 3]
+
+
 @partial(jax.jit, static_argnames=("size", "interpret"))
 def hqs_sums_from_sorted(spid, sdep, spay, fb_depth, size: int,
                          interpret: bool = False):
@@ -211,9 +332,7 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
     ntiles_pad = nprog * TPS
-    from .pallas_merge import CLIP_TILES, _clip_fits, _runs_bounded
-
-    fast_ok = _runs_bounded(sp2d, size)
+    from .pallas_merge import CLIP_TILES, _clip_fits
 
     def render(clip):
         words_per_stream = (ntiles_pad if clip is None else clip) + n // TILE
@@ -222,7 +341,7 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
         for g0 in range(0, S, smax):
             planes = _hqs_rows_group(
                 sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
-                fb_depth, size, interpret, fast_ok, clip, tile_cols,
+                fb_depth, size, interpret, None, clip, tile_cols,
             )
             acc = planes if acc is None else tuple(
                 a + p for a, p in zip(acc, planes)
@@ -240,9 +359,9 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
 
 def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
                     fast_ok=None, clip=None, tile_cols=None):
-    from .pallas_merge import (
-        FAST_SUFFIX_STEPS, WCAP, build_rows_window_table,
-    )
+    """fast_ok is unused since the matscatter sum kernel replaced the
+    suffix-sum kernel on this path (no run-length bound needed)."""
+    from .pallas_merge import WCAP, build_rows_window_table
 
     ntiles = -(-size // TILE)
     nprog = -(-ntiles // TPS)
@@ -266,8 +385,8 @@ def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
     outshape = jax.ShapeDtypeStruct((ntiles_pad * SUBS, LANES), jnp.int32)
     win = pltpu.VMEM((RING, SUBS, LANES), jnp.int32)
 
-    def call(tables, steps):
-        kern = partial(_hqs_sum_kernel, nrows=nrows, suffix_steps=steps)
+    def call(tables):
+        kern = partial(_hqs_matscatter_kernel, nrows=nrows)
         return pl.pallas_call(
             kern,
             grid=(nprog,),
@@ -281,13 +400,7 @@ def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
         )(*tables, as_i32(sp2d), as_i32(sd2d), as_i32(sy2d), fbd)
 
     def resolve_with(tables):
-        if fast_ok is None:
-            return call(tables, 10)
-        return jax.lax.cond(
-            fast_ok,
-            lambda: call(tables, FAST_SUFFIX_STEPS),
-            lambda: call(tables, 10),
-        )
+        return call(tables)
 
     def big_path():
         cw2, wr2, _nr, _np = build_rows_window_table(

@@ -561,3 +561,44 @@ def test_hqs_sums_from_rows_grouped_equals_single(monkeypatch):
     ph.hqs_sums_from_rows.clear_cache()
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+
+
+def test_hqs_sums_from_rows_matches_scatter_add():
+    """The matscatter HQS sum kernel (rows path) == direct per-pixel
+    accumulation with the depth-tolerance accept, over multiple
+    independently sorted rows incl. heavy collisions and rereads."""
+    from pcrhpg24_tpu.render.pallas_hqs import hqs_sums_from_rows
+
+    rng = np.random.default_rng(23)
+    S, n = 4, 4096
+    pid = rng.integers(0, SIZE, (S, n)).astype(np.uint32)
+    pid[rng.random((S, n)) < 0.3] = SIZE
+    pid[0, :2048] = 333  # whole-window single run
+    w = (rng.random((S, n)).astype(np.float32) * 100 + 1)
+    dep = w.view(np.uint32)
+    rgba = rng.integers(0, 2**24, (S, n), dtype=np.uint64).astype(np.uint32)
+
+    fbd = np.full(SIZE, 0xFFFFFFFF, np.uint32)
+    for s in range(S):
+        for i in range(n):
+            if pid[s, i] < SIZE:
+                fbd[pid[s, i]] = min(fbd[pid[s, i]], dep[s, i])
+    accs = np.zeros((4, SIZE), np.uint32)
+    old = fbd.view(np.float32)
+    for s in range(S):
+        for i in range(n):
+            p = pid[s, i]
+            if p < SIZE and w[s, i] <= old[p] * np.float32(1.01):
+                accs[0, p] += rgba[s, i] & 0xFF
+                accs[1, p] += (rgba[s, i] >> 8) & 0xFF
+                accs[2, p] += (rgba[s, i] >> 16) & 0xFF
+                accs[3, p] += 1
+
+    sp, sd, sy = jax.lax.sort(
+        [jnp.asarray(pid), jnp.asarray(dep), jnp.asarray(rgba)],
+        num_keys=1, is_stable=False, dimension=1,
+    )
+    got = hqs_sums_from_rows(sp, sd, sy, jnp.asarray(fbd), SIZE,
+                             interpret=True)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(got[k]), accs[k])
