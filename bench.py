@@ -57,6 +57,12 @@ def _emit(partial: bool = False) -> None:
     out = dict(_RESULT)
     if partial:
         out.setdefault("detail", {})["partial"] = True
+    try:  # docs regeneration input (tools/gen_readme_perf.py)
+        os.makedirs("out", exist_ok=True)
+        with open("out/last_bench.json", "w") as f:
+            json.dump(out, f, indent=1)
+    except Exception:
+        pass
     print(json.dumps(out), flush=True)
 
 

@@ -150,3 +150,14 @@ for g0 in range(0, sps.shape[0], 128):
         tile_cols=wt_cols)
     nw_h += int(np.asarray(cw)[-1])
 print(f"hqs windows (uncollapsed): {nw_h}", flush=True)
+
+# record into the scale-run ledger (README regeneration input)
+import json
+led = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "scale_runs.json")
+runs = json.load(open(led)) if os.path.exists(led) else {}
+pts = int(B) * 65536
+runs.setdefault("hqs", {})[str(pts)] = dict(
+    frame_ms=round(p + b, 2), x_color=round((p + b) / c, 2))
+json.dump(runs, open(led, "w"), indent=1, sort_keys=True)
+print("ledger updated", flush=True)
