@@ -117,7 +117,7 @@ def project_rows_101010_nodes(
 @partial(jax.jit, static_argnames=("width", "height", "rows"))
 def project_rows_101010_planes(
     xyz4, xyz8, xyz12, code_pt, bmi, bma, transform,
-    base_index, width: int, height: int, rows: int,
+    base_index, width: int, height: int, rows: int, payload=None,
 ):
     """Plane-input variant of project_rows_101010_nodes: per-point
     node attributes arrive as materialized planes (code_pt i32 plane;
@@ -129,10 +129,13 @@ def project_rows_101010_planes(
 
     lvl = code_pt >> 1
     vis = (code_pt & 1) == 1
-    pid, depth, payload = _project_101010(
+    pid, depth, pay_idx = _project_101010(
         xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
         width, height, vis,
     )
+    # default payload = global point index (resolve_indexed colors);
+    # HQS passes the rgba plane directly (sums want color bytes)
+    payload = pay_idx if payload is None else payload.astype(jnp.uint32)
     _wt, _ht, size = swizzle_dims(width, height)
     lin = jnp.clip(pid, 0, width * height - 1)
     px = lin % width

@@ -149,6 +149,70 @@ def render_frame_nodes_tpu(
     return fbd, fbp
 
 
+@_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
+                                    "interpret"))
+def render_frame_nodes_hqs_tpu(
+    xyz4, xyz8, xyz12, rgba, starts_d, code_delta, bmin_delta, bmax_delta,
+    base_code, base_bmin, base_bmax, fb_depth_sw, wvp,
+    live_idx, n_live, width: int, height: int, ncap: int, chunk_pts: int,
+    interpret: bool = False,
+):
+    """HQS accumulate pass over Potree nodes in ONE dispatch.
+
+    Same gather-free scan structure as render_frame_nodes_tpu; each
+    chunk projects with the rgba plane as payload and the matscatter
+    HQS sum kernel accumulates tolerance-gated (r,g,b,count) planes
+    against the color pass's depth plane (swizzled).  Sums add exactly
+    across chunks.  Replaces per-chunk eager XLA scatter-adds (~4.8
+    ns/slot -> ~320 ms per 16.7M chunk on TPU) and the per-point node
+    gathers.  Reference: modules/compute_loop_nodes_hqs.
+    """
+    from ..pallas_hqs import hqs_sums_from_rows
+    from ..raster import swizzle_dims
+
+    wt_cols, _ht, size = swizzle_dims(width, height)
+    rows = chunk_pts // SORT_SEG
+    n_pad = xyz4.shape[0]
+
+    def do_chunk(carry, g):
+        c = live_idx[g]
+        s = jnp.minimum(c * chunk_pts, n_pad - chunk_pts).astype(jnp.int32)
+        sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk_pts,))
+        idx = starts_d - s
+        idx = jnp.where(idx < 0, chunk_pts, idx)
+
+        def plane(deltas, base):
+            p = jnp.zeros((chunk_pts,), jnp.int32).at[idx].add(
+                deltas, mode="drop")
+            return base ^ _xor_prefix_scan(p)
+
+        code_pt = plane(code_delta, base_code[c])
+        f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
+                    for k in range(3))
+        bma = tuple(f32(plane(bmax_delta[:, k], base_bmax[c, k]))
+                    for k in range(3))
+        sp, sd, sy = project_rows_101010_planes(
+            sl(xyz4), sl(xyz8), sl(xyz12), code_pt, bmi, bma, wvp,
+            s.astype(jnp.uint32), width, height, rows=rows,
+            payload=sl(rgba) & jnp.uint32(0xFFFFFF),
+        )
+        planes = hqs_sums_from_rows(
+            sp, sd, sy, fb_depth_sw, size, interpret=interpret,
+            tile_cols=wt_cols,
+        )
+        return tuple(a + p for a, p in zip(carry, planes))
+
+    def body(carry, g):
+        carry = jax.lax.cond(
+            g < n_live, lambda cr: do_chunk(cr, g), lambda cr: cr, carry)
+        return carry, None
+
+    init = tuple(jnp.zeros((size,), jnp.uint32) for _ in range(4))
+    acc, _ = jax.lax.scan(body, init, jnp.arange(ncap, dtype=jnp.int32))
+    return acc
+
+
 @_partial(jax.jit, static_argnames=("n_pad",))
 def _expand_frame_codes(deltas, starts, n_pad: int):
     """Scatter per-node code deltas at node starts, cumsum to per-point."""
@@ -438,9 +502,31 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
             tables["starts"], p.node_count[:nn], vis, n_pad
         )
 
-        acc = _hqs_accumulate_101010(
-            d, tables, code_nodes, chunks, wvp, fb_d, acc, W, H
-        )
+        if jax.default_backend() == "tpu":
+            # single-dispatch gather-free accumulate (matscatter HQS
+            # sum kernel); per-chunk eager scatter-adds cost ~320 ms
+            # per 16.7M chunk on TPU
+            from ..raster import swizzle_plane, unswizzle_plane
+
+            fb_depth_sw = swizzle_plane(fb_d, W, H, EMPTY)
+            chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
+            live_idx = np.zeros(ncap, np.int32)
+            live_idx[: len(chunks)] = chunks
+            code_delta, base_code = self._frame_code_deltas(
+                np.asarray(code_nodes), tables)
+            accs = render_frame_nodes_hqs_tpu(
+                d["xyz4"], d["xyz8"], d["xyz12"], d["rgba"],
+                tables["starts_d"], code_delta, tables["bmin_delta"],
+                tables["bmax_delta"], base_code, tables["base_bmin"],
+                tables["base_bmax"], fb_depth_sw, wvp,
+                jnp.asarray(live_idx), jnp.int32(len(chunks)),
+                W, H, ncap, chunk_pts,
+            )
+            acc = [unswizzle_plane(a, W, H) for a in accs]
+        else:
+            acc = _hqs_accumulate_101010(
+                d, tables, code_nodes, chunks, wvp, fb_d, acc, W, H
+            )
         renderer.last_fb = (fb_d, acc[3])
         return resolve_hqs(*acc, W, H)
 

@@ -56,6 +56,17 @@ def unswizzle_plane(fb, width: int, height: int):
     return img.reshape(ht * TILE_PX, wt * TILE_PX)[:height, :width].reshape(-1)
 
 
+def swizzle_plane(fb, width: int, height: int, fill):
+    """Linear (height*width,) plane -> swizzled (wt*ht*1024,) plane;
+    pad pixels beyond the screen get `fill` (e.g. EMPTY for a depth
+    plane: nothing ever lands there, and they never unswizzle back)."""
+    wt, ht, _ = swizzle_dims(width, height)
+    img = fb.reshape(height, width)
+    img = jnp.pad(img, ((0, ht * TILE_PX - height), (0, wt * TILE_PX - width)),
+                  constant_values=fill)
+    return img.reshape(ht, TILE_PX, wt, TILE_PX).transpose(0, 2, 1, 3).reshape(-1)
+
+
 def project(positions, transform):
     """positions (N,3) f32, transform (4,4) f32 -> clip (N,4).
 

@@ -243,3 +243,75 @@ def test_rows_resolve_matches_scatter(potree_dir):
         np.asarray(unswizzle_plane(sfp, W, H)), np.asarray(fb_p))
     np.testing.assert_array_equal(
         np.asarray(unswizzle_plane(sfd, W, H)), np.asarray(fb_d))
+
+
+def test_hqs_single_dispatch_matches_eager(potree_dir):
+    """The TPU HQS accumulate (single dispatch, gather-free planes,
+    matscatter sum kernel in interpret mode) must produce the eager
+    scatter-add path's (r,g,b,n) planes exactly."""
+    import jax
+
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        ComputeLoopNodes, _hqs_accumulate_101010,
+        render_frame_nodes_hqs_tpu,
+    )
+    from pcrhpg24_tpu.render.raster import (
+        EMPTY, swizzle_plane, unswizzle_plane,
+    )
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=900.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+    from pcrhpg24_tpu.render.methods.loop_nodes import node_levels
+
+    nn = p.nodes_loaded
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis = batches_in_frustum(
+        frustum_planes(np.asarray(wvp)), p.bbox_min[:nn], p.bbox_max[:nn]
+    ) & (lvl < 4)
+    tables = m._per_point_tables(p.num_points_loaded)
+    codes = m._frame_codes(lvl, vis, len(p.nodes))
+    d = p.dev
+    n_pad = int(d["xyz4"].shape[0])
+
+    # depth plane via the eager scatter path
+    from pcrhpg24_tpu.render.methods.loop_las import raster_chunk_101010_nodes
+
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H)
+
+    chunks = m._live_chunks(tables["starts"], p.node_count[:nn], vis, n_pad)
+    acc0 = [jnp.zeros((W * H,), jnp.uint32) for _ in range(4)]
+    want = _hqs_accumulate_101010(d, tables, codes, chunks, wvp, fb_d,
+                                  acc0, W, H)
+
+    chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
+    live_idx = np.zeros(ncap, np.int32)
+    live_idx[: len(chunks)] = chunks
+    code_delta, base_code = m._frame_code_deltas(np.asarray(codes), tables)
+    accs = render_frame_nodes_hqs_tpu(
+        d["xyz4"], d["xyz8"], d["xyz12"], d["rgba"], tables["starts_d"],
+        code_delta, tables["bmin_delta"], tables["bmax_delta"],
+        base_code, tables["base_bmin"], tables["base_bmax"],
+        swizzle_plane(fb_d, W, H, EMPTY), wvp,
+        jnp.asarray(live_idx), jnp.int32(len(chunks)),
+        W, H, ncap, chunk_pts, interpret=True)
+    got = [unswizzle_plane(a, W, H) for a in accs]
+    assert int(np.asarray(want[3]).sum()) > 500  # scene contributes
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
