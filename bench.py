@@ -356,11 +356,13 @@ def main() -> int:
                 las.dev["bbox_min"], las.dev["bbox_max"],
                 fpd[23].astype(jnp.int32), W, H, fpd[22], True,
             )
-            # adversarial chunk: the one with the most visible points
+            # adversarial chunk: the most populated one EXCLUDING
+            # chunk 0 (the most Morton-coherent chunk — the friendliest
+            # possible spot-check, per the round-3 review)
             per_chunk = np.asarray(lodv.astype(np.int64))
             nfull = (per_chunk.shape[0] // CHUNK) * CHUNK
             csums = per_chunk[:nfull].reshape(-1, CHUNK).sum(axis=1)
-            cidx = int(csums.argmax())
+            cidx = (int(csums[1:].argmax()) + 1) if len(csums) > 1 else 0
             pid, dep, pay = render_chunk_native(
                 las.dev, cidx * CHUNK, fpd[24:40].reshape(4, 4), lod_n,
                 scale, offset_rel, W, H, "color", True, 64, kw["fmt"], tbd,

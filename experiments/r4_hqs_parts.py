@@ -62,27 +62,33 @@ def tok_of(x):
                      jnp.float32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def chain_color(dev, fpd, k: int):
-    acc = jnp.uint32(0)
-    f = fpd
-    for _ in range(k):
+@jax.jit
+def chain_color(dev, fpd, k):
+    # fori_loop with RUNTIME k: one compile serves every chain length
+    # (a static-k unroll at 100M blew the compile budget, bench.py
+    # round-4 lesson)
+    def body(_i, carry):
+        acc, f = carry
         _d, _p, img = render_frame_native(
             dev, f, scale, offr, mode="color", need_depth=False, tb=tb,
             **kw)
         acc = acc + img[0, 0]
-        f = fpd + tok_of(acc)
+        return acc, fpd + tok_of(acc)
+
+    acc, _f = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), fpd))
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def chain_prepass(dev, fpd, k: int):
-    acc = jnp.uint32(0)
-    f = fpd
-    for _ in range(k):
-        fbd, _streams = hqs_prepass_native(dev, f, scale, offr, tb=tb, **kw)
+@jax.jit
+def chain_prepass(dev, fpd, k):
+    def body(_i, carry):
+        acc, f = carry
+        fbd, _streams = hqs_prepass_native(dev, f, scale, offr, tb=tb,
+                                           **kw)
         acc = acc + fbd[0]
-        f = fpd + tok_of(acc)
+        return acc, fpd + tok_of(acc)
+
+    acc, _f = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), fpd))
     return acc
 
 
@@ -90,16 +96,16 @@ fbd0, streams0 = jax.block_until_ready(hqs_prepass_native(
     las.dev, fpd, scale, offr, tb=tb, **kw))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def chain_blend(dev, fbd, streams, k: int):
-    acc = jnp.uint32(0)
-    fb = fbd
-    for _ in range(k):
+@jax.jit
+def chain_blend(dev, fbd, streams, k):
+    def body(_i, carry):
+        acc, fb = carry
         _n, img = hqs_blend_native(dev, fpd, scale, offr, fb, streams,
                                    tb=tb, **kw)
         acc = acc + img[0, 0]
-        fb = fbd ^ (acc & jnp.uint32(0))  # dependency only
-        fb = jnp.where(tok_of(acc) > 0, fbd + 1, fbd)
+        return acc, jnp.where(tok_of(acc) > 0, fbd + 1, fbd)
+
+    acc, _fb = jax.lax.fori_loop(0, k, body, (jnp.uint32(0), fbd))
     return acc
 
 
@@ -116,15 +122,16 @@ def chain_hqs(dev, fpd, k: int):
 def slope(fn, *args):
     ts = {}
     for k in (1, 1 + K):
-        o = fn(*args, k=k)
+        ko = jnp.int32(k)
+        o = fn(*args, ko)
         jax.block_until_ready(o)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            o = fn(*args, k=k)
+            o = fn(*args, ko)
             jax.block_until_ready(o)
             best = min(best, time.perf_counter() - t0)
-        ts[k] = best
+        ts[int(k)] = best
     return (ts[1 + K] - ts[1]) / K * 1e3
 
 
