@@ -109,16 +109,6 @@ def chain_blend(dev, fbd, streams, k):
     return acc
 
 
-def chain_hqs(dev, fpd, k: int):
-    # two dispatches per frame by design; time wall min-of-3 per k
-    for _ in range(k):
-        fbd, streams = hqs_prepass_native(dev, fpd, scale, offr, tb=tb,
-                                          **kw)
-        _n, img = hqs_blend_native(dev, fpd, scale, offr, fbd, streams,
-                                   tb=tb, **kw)
-    return img
-
-
 def slope(fn, *args):
     ts = {}
     for k in (1, 1 + K):

@@ -308,13 +308,7 @@ cumwin_c, wrowtile_c, NROWS, NPROG_C = jax.block_until_ready(
                                tile_cols=wt_cols, wcap=pm.WCAP))
 
 
-def run_cur_kernel():
-    from experiments.r4_winsize import make_kernel  # reuse base kernel
-    raise SystemExit  # not used; kernel timing via pm path below
-
-
 # time the production matscatter kernel on the prebuilt table
-kern_c = None
 ntiles_pad_c = NPROG_C * TPS
 outspec_c = pl.BlockSpec((TPS * SUBS, LANES), lambda i: (i, 0))
 outshape_c = jax.ShapeDtypeStruct((ntiles_pad_c * SUBS, LANES), jnp.int32)
