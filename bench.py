@@ -69,6 +69,7 @@ def _emit(partial: bool = False) -> None:
 def _watchdog() -> None:
     # fire 45 s before the budget so the print itself always lands
     if not _PRINTED.wait(timeout=max(5.0, BUDGET_S - 45 - (time.time() - T_START))):
+        headline_landed = bool(_RESULT.get("value"))
         if not _RESULT:
             _RESULT.update({
                 "metric": "fused huffman decode+rasterize @1920x1080",
@@ -76,7 +77,10 @@ def _watchdog() -> None:
                 "detail": {"error": "watchdog: no headline before budget"},
             })
         _emit(partial=True)
-        os._exit(0)
+        # a stalled run with NO headline is a failure (rc!=0) so the
+        # driver/ledger can't record a zero as a successful bench;
+        # partial-but-headline results still exit 0
+        os._exit(0 if headline_landed else 1)
 
 
 def build_scene(path: str, num_batches: int) -> str:

@@ -40,6 +40,30 @@ from ..render.raster import (
 
 BACKGROUND = jnp.uint32(0x00443322)
 
+
+def _sort_shard_rows(pid, dep, pay, num_keys):
+    """Sort one shard's flat stream as row-parallel segments.
+
+    Caps the row count so each sorted row spans >= one TILE of entries
+    (the merge kernel's window granularity).  Guards the invariant the
+    halving loop relies on: the stream length must be a TILE multiple
+    (all callers produce 65536-point batch multiples), and srows never
+    reaches 0.
+    """
+    from ..render.methods.huffman_tpu import SORT_ROWS
+    from ..render.pallas_merge import TILE
+
+    assert pid.shape[0] % TILE == 0, pid.shape
+    srows = max(1, min(SORT_ROWS, pid.shape[0] // TILE))
+    while pid.shape[0] % (srows * TILE):
+        srows //= 2
+    n = pid.shape[0] // srows
+    return jax.lax.sort(
+        [pid.reshape(srows, n).astype(jnp.uint32),
+         dep.reshape(srows, n), pay.reshape(srows, n)],
+        num_keys=num_keys, is_stable=False, dimension=1,
+    )
+
 # dev-dict arrays sharded over dp (axis 0 = batch)
 _DEV_SPEC_KEYS = (
     "widths", "streams", "ptrs", "starts", "colors", "colors_k",
@@ -53,7 +77,7 @@ def _local_frame(dev, frame_params, scale, offset_rel, tb, width, height,
     (fb_d, fb_p) in the swizzled pid space (exact shard-local u64 min),
     plus (lod_n, transform) for reuse.  Mirrors render_frame_native's
     per-chunk structure (render/methods/huffman_tpu.py)."""
-    from ..render.methods.huffman_tpu import SORT_ROWS, render_chunk_native
+    from ..render.methods.huffman_tpu import render_chunk_native
 
     B_loc = dev["anchor"].shape[0]
     dp_idx = jax.lax.axis_index("dp")
@@ -78,26 +102,12 @@ def _local_frame(dev, frame_params, scale, offset_rel, tb, width, height,
         )
         parts.append((pid, dep, pay))
     if use_pallas:
-        from ..render.pallas_merge import (
-            SORT_KEYS, TILE, dense_from_sorted_rows,
-        )
+        from ..render.pallas_merge import SORT_KEYS, dense_from_sorted_rows
 
         # same sort/merge combination as the single-chip flagship
         # (render_frame_native): nk3 rows + suffix-free matscatter.
-        # Small shards (few batches per device) cap the row count so
-        # each sorted row still spans >= one TILE of entries (the merge
-        # kernel's window granularity).
-        rows = []
-        for pid, dep, pay in parts:
-            srows = min(SORT_ROWS, pid.shape[0] // TILE)
-            while pid.shape[0] % (srows * TILE):
-                srows //= 2
-            n = pid.shape[0] // srows
-            rows.append(jax.lax.sort(
-                [pid.reshape(srows, n).astype(jnp.uint32),
-                 dep.reshape(srows, n), pay.reshape(srows, n)],
-                num_keys=SORT_KEYS, is_stable=False, dimension=1,
-            ))
+        rows = [_sort_shard_rows(pid, dep, pay, SORT_KEYS)
+                for pid, dep, pay in parts]
         sp2 = jnp.concatenate([r[0] for r in rows])
         sd2 = jnp.concatenate([r[1] for r in rows])
         sy2 = jnp.concatenate([r[2] for r in rows])
@@ -179,8 +189,7 @@ def make_flagship_hqs(mesh: Mesh, width: int, height: int,
         raise ValueError(f"height {height} not divisible by sp {sp}")
 
     def step(dev, frame_params, scale, offset_rel, tb):
-        from ..render.methods.huffman_tpu import CHUNK, SORT_ROWS, \
-            render_chunk_native
+        from ..render.methods.huffman_tpu import CHUNK
 
         B_loc = dev["anchor"].shape[0]
         ck = chunk or min(CHUNK, B_loc)
@@ -196,19 +205,8 @@ def make_flagship_hqs(mesh: Mesh, width: int, height: int,
         if use_pallas:
             from ..render.pallas_hqs import hqs_sums_from_rows
 
-            rows = []
-            for pid, dep, pay in parts:
-                from ..render.pallas_merge import TILE
-
-                srows = min(SORT_ROWS, pid.shape[0] // TILE)
-                while pid.shape[0] % (srows * TILE):
-                    srows //= 2
-                n = pid.shape[0] // srows
-                rows.append(jax.lax.sort(
-                    [pid.reshape(srows, n).astype(jnp.uint32),
-                     dep.reshape(srows, n), pay.reshape(srows, n)],
-                    num_keys=1, is_stable=False, dimension=1,
-                ))
+            rows = [_sort_shard_rows(pid, dep, pay, 1)
+                    for pid, dep, pay in parts]
             sp2 = jnp.concatenate([r[0] for r in rows])
             sd2 = jnp.concatenate([r[1] for r in rows])
             sy2 = jnp.concatenate([r[2] for r in rows])

@@ -187,6 +187,14 @@ def render_frame_nodes_hqs_tpu(
             return base ^ _xor_prefix_scan(p)
 
         code_pt = plane(code_delta, base_code[c])
+        # When the last chunk's start clamps to n_pad - chunk_pts, its
+        # leading `c*chunk_pts - s` points belong to the PREVIOUS chunk
+        # and would be summed twice (sums are not idempotent, unlike the
+        # color pass's u64-min).  Force the overlap prefix invisible
+        # (code 0 -> vis bit 0), matching the eager path's exact slices.
+        overlap = c * chunk_pts - s
+        code_pt = jnp.where(
+            jnp.arange(chunk_pts, dtype=jnp.int32) < overlap, 0, code_pt)
         f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
                     for k in range(3))

@@ -341,7 +341,7 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
         for g0 in range(0, S, smax):
             planes = _hqs_rows_group(
                 sp2d[g0:g0 + smax], sd2d[g0:g0 + smax], sy2d[g0:g0 + smax],
-                fb_depth, size, interpret, None, clip, tile_cols,
+                fb_depth, size, interpret, clip, tile_cols,
             )
             acc = planes if acc is None else tuple(
                 a + p for a, p in zip(acc, planes)
@@ -358,9 +358,12 @@ def hqs_sums_from_rows(sp2d, sd2d, sy2d, fb_depth, size: int,
 
 
 def _hqs_rows_group(sp2d, sd2d, sy2d, fb_depth, size: int, interpret: bool,
-                    fast_ok=None, clip=None, tile_cols=None):
-    """fast_ok is unused since the matscatter sum kernel replaced the
-    suffix-sum kernel on this path (no run-length bound needed)."""
+                    clip=None, tile_cols=None):
+    """One matscatter-sum kernel call over a row group.
+
+    This rows path always uses the matscatter SUM kernel (no run-length
+    bound needed).  The segmented suffix-sum kernel `_hqs_sum_kernel`
+    survives ONLY for the non-rows `hqs_sums_from_sorted_multi` path."""
     from .pallas_merge import WCAP, build_rows_window_table
 
     ntiles = -(-size // TILE)

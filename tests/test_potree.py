@@ -315,3 +315,98 @@ def test_hqs_single_dispatch_matches_eager(potree_dir):
     for k in range(4):
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(want[k]))
+
+
+def test_hqs_overlap_tail_chunks(potree_dir):
+    """Clamped last chunk (n_pad % chunk_pts != 0) must not double-count
+    the overlap prefix in the HQS sums (the color pass's u64-min is
+    idempotent over the overlap; sums are not)."""
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        ComputeLoopNodes, _hqs_accumulate_101010,
+        render_frame_nodes_hqs_tpu,
+    )
+    import pcrhpg24_tpu.render.methods.loop_nodes as ln
+    from pcrhpg24_tpu.render.methods.loop_las import (
+        SORT_SEG, raster_chunk_101010_nodes,
+    )
+    from pcrhpg24_tpu.render.raster import (
+        EMPTY, swizzle_plane, unswizzle_plane,
+    )
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+    from pcrhpg24_tpu.render.methods.loop_nodes import node_levels
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    nn = p.nodes_loaded
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis = batches_in_frustum(
+        frustum_planes(np.asarray(wvp)), p.bbox_min[:nn], p.bbox_max[:nn]
+    ) & (lvl < 4)
+    # shrink the device pad to 4 segments so a 3-segment chunk size makes
+    # the LAST chunk clamp into real, visible points (the resource's own
+    # 2^20 pad would put the whole overlap in dead padding)
+    n_pad = 4 * SORT_SEG
+    total = int(np.sum(p.node_count[:nn]))
+    assert total < n_pad
+    p.dev = {kk: v[:n_pad] for kk, v in p.dev.items()}
+    d = p.dev
+    m._pt_cache = None
+    old_chunk = ln.CHUNK_PTS
+    ln.CHUNK_PTS = 3 * SORT_SEG
+    try:
+        tables = m._per_point_tables(p.num_points_loaded)
+    finally:
+        ln.CHUNK_PTS = old_chunk
+    chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
+    assert n_pad % chunk_pts != 0 and ncap >= 2
+    # the clamped last chunk's overlap prefix must hold VISIBLE points
+    codes_np = np.asarray(m._frame_codes(lvl, vis, len(p.nodes)))
+    nid_ov = np.asarray(tables["nid_pt"][n_pad - chunk_pts:
+                                         (ncap - 1) * chunk_pts])
+    assert (codes_np[np.clip(nid_ov, 0, len(codes_np) - 1)] & 1).sum() > 1000
+    codes = m._frame_codes(lvl, vis, len(p.nodes))
+
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H)
+
+    # eager reference uses exact per-chunk slices (no overlap);
+    # force BOTH tail chunks live
+    chunks = np.arange(ncap)
+    acc0 = [jnp.zeros((W * H,), jnp.uint32) for _ in range(4)]
+    import pcrhpg24_tpu.render.methods.loop_nodes as lnmod
+    lnmod.CHUNK_PTS = chunk_pts
+    try:
+        want = _hqs_accumulate_101010(d, tables, codes, chunks, wvp, fb_d,
+                                      acc0, W, H)
+    finally:
+        lnmod.CHUNK_PTS = old_chunk
+    live_idx = np.zeros(ncap, np.int32)
+    live_idx[: len(chunks)] = chunks
+    code_delta, base_code = m._frame_code_deltas(np.asarray(codes), tables)
+    accs = render_frame_nodes_hqs_tpu(
+        d["xyz4"], d["xyz8"], d["xyz12"], d["rgba"], tables["starts_d"],
+        code_delta, tables["bmin_delta"], tables["bmax_delta"],
+        base_code, tables["base_bmin"], tables["base_bmax"],
+        swizzle_plane(fb_d, W, H, EMPTY), wvp,
+        jnp.asarray(live_idx), jnp.int32(len(chunks)),
+        W, H, ncap, chunk_pts, interpret=True)
+    got = [unswizzle_plane(a, W, H) for a in accs]
+    m._pt_cache = None
+    assert int(np.asarray(want[3]).sum()) > 500
+    for kk in range(4):
+        np.testing.assert_array_equal(np.asarray(got[kk]),
+                                      np.asarray(want[kk]))
