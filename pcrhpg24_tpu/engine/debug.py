@@ -25,6 +25,11 @@ class Debug:
     # there; --edl here)
     edl: bool = False
     edl_strength: float = 0.0005
+    # Potree per-node point budget (loop_nodes.node_budget): target
+    # candidate density per covered pixel; 0 disables (render every
+    # point of every accepted node).  The nodes-path analogue of the
+    # flagship LOD% heuristic (huffman_mem_iter_cuda/render.cu:346-379).
+    node_budget: float = 0.0
 
     frame_stats: list[tuple[str, str]] = []
     values: dict[str, str] = {}

@@ -77,20 +77,27 @@ def raster_chunk_101010(
 @partial(jax.jit, static_argnames=("width", "height", "rows"))
 def project_rows_101010_nodes(
     xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,
-    base_index, width: int, height: int, rows: int,
+    base_index, width: int, height: int, rows: int, starts_nodes=None,
 ):
     """Node-indexed projection -> pid-sorted rows in the SWIZZLED tile
     id space, ready for pallas_merge.dense_from_sorted_rows.  This is
     the flagship resolve applied to the Potree path: per-chunk
     SORT_ROWS-segmented nk1 sorts + the scatter-free merge kernel
     replace the 3-key sort + unique scatter of raster_chunk_101010
-    (18.7 ms sort + serial scatter per 16.7M chunk on TPU)."""
+    (18.7 ms sort + serial scatter per 16.7M chunk on TPU).
+    `starts_nodes` (per-node first-point index) enables the per-node
+    point budget in the code's k field (node_budget)."""
     from ..raster import swizzle_dims, swizzle_pid
 
     nidc = jnp.clip(nid, 0, code_nodes.shape[0] - 1).astype(jnp.int32)
     code = code_nodes[nidc]
-    lvl = code >> 1
+    lvl = (code >> 1) & 7
     vis = (code & 1) == 1
+    if starts_nodes is not None:
+        local = (base_index.astype(jnp.int32)
+                 + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
+                 - starts_nodes[nidc])
+        vis &= (local & 63) < (code >> 4)
     bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
     bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
     pid, depth, payload = _project_101010(
@@ -127,7 +134,7 @@ def project_rows_101010_planes(
     resident points the gathers alone were ~14 s/frame)."""
     from ..raster import swizzle_dims, swizzle_pid
 
-    lvl = code_pt >> 1
+    lvl = (code_pt >> 1) & 7
     vis = (code_pt & 1) == 1
     pid, depth, pay_idx = _project_101010(
         xyz4, xyz8, xyz12, lvl, bmi, bma, transform, base_index,
@@ -154,7 +161,7 @@ def project_rows_101010_planes(
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(9, 10))
 def raster_chunk_101010_nodes(
     xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,
-    base_index, fb_d, fb_p, width: int, height: int,
+    base_index, fb_d, fb_p, width: int, height: int, starts_nodes=None,
 ):
     """Node-indexed variant for billion-point Potree scenes.
 
@@ -162,15 +169,23 @@ def raster_chunk_101010_nodes(
     gathered by the per-point node id `nid` (u32) instead of per-point
     f32 planes — 4 B/point of residency instead of 28 B/point, the
     difference between a 350M-point resident set fitting HBM or not.
-    `code_nodes` packs (level << 1 | visible) per node; same numerics
-    as raster_chunk_101010 (the gathered values are identical).
+    `code_nodes` packs (k << 4 | level << 1 | visible) per node; same
+    numerics as raster_chunk_101010 (the gathered values are
+    identical).  `starts_nodes` enables the per-node point budget: of
+    every 64 consecutive node points only the first k render
+    (node_budget; reference analogue render.cu:346-379).
     Reference analogue: per-node uniforms read by each workgroup
     (modules/compute_loop_nodes/compute_loop_nodes.h:184-185).
     """
     nidc = jnp.clip(nid, 0, code_nodes.shape[0] - 1).astype(jnp.int32)
     code = code_nodes[nidc]
-    lvl = code >> 1
+    lvl = (code >> 1) & 7
     vis = (code & 1) == 1
+    if starts_nodes is not None:
+        local = (base_index.astype(jnp.int32)
+                 + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
+                 - starts_nodes[nidc])
+        vis &= (local & 63) < (code >> 4)
     # per-axis 1D gathers: a gathered (N, 3) pads its minor dim to 128
     # lanes on TPU (42.7x HBM blowup at 16.7M-point chunks)
     bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))

@@ -71,7 +71,7 @@ def render_frame_nodes_tpu(
     xyz4, xyz8, xyz12, starts_d, code_delta, bmin_delta, bmax_delta,
     base_code, base_bmin, base_bmax, wvp,
     live_idx, n_live, width: int, height: int, ncap: int, chunk_pts: int,
-    interpret: bool = False,
+    interpret: bool = False, sval_delta=None, base_sval=None,
 ):
     """Whole steady-state Potree frame in ONE dispatch, gather-free.
 
@@ -122,6 +122,15 @@ def render_frame_nodes_tpu(
             return base ^ _xor_prefix_scan(p)
 
         code_pt = plane(code_delta, base_code[c])
+        if sval_delta is not None:
+            # per-node point budget (node_budget): only the first k of
+            # every 64 consecutive node points stay visible.  The
+            # node-start plane rebuilds through the same XOR scan;
+            # local index = global index - node start.
+            sval = plane(sval_delta, base_sval[c])
+            gidx = s + jnp.arange(chunk_pts, dtype=jnp.int32)
+            ok = ((gidx - sval) & 63) < (code_pt >> 4)
+            code_pt = jnp.where(ok, code_pt, 0)
         f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
                     for k in range(3))
@@ -155,7 +164,7 @@ def render_frame_nodes_hqs_tpu(
     xyz4, xyz8, xyz12, rgba, starts_d, code_delta, bmin_delta, bmax_delta,
     base_code, base_bmin, base_bmax, fb_depth_sw, wvp,
     live_idx, n_live, width: int, height: int, ncap: int, chunk_pts: int,
-    interpret: bool = False,
+    interpret: bool = False, sval_delta=None, base_sval=None,
 ):
     """HQS accumulate pass over Potree nodes in ONE dispatch.
 
@@ -195,6 +204,13 @@ def render_frame_nodes_hqs_tpu(
         overlap = c * chunk_pts - s
         code_pt = jnp.where(
             jnp.arange(chunk_pts, dtype=jnp.int32) < overlap, 0, code_pt)
+        if sval_delta is not None:
+            # per-node point budget — same mask as the color pass so
+            # the blend averages exactly the budgeted candidate set
+            sval = plane(sval_delta, base_sval[c])
+            gidx = s + jnp.arange(chunk_pts, dtype=jnp.int32)
+            ok = ((gidx - sval) & 63) < (code_pt >> 4)
+            code_pt = jnp.where(ok, code_pt, 0)
         f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
                     for k in range(3))
@@ -228,8 +244,9 @@ def _expand_frame_codes(deltas, starts, n_pad: int):
     return jnp.cumsum(plane)
 
 
-def node_levels(view, proj, bmin, bmax, width, height):
-    """Precision level per node; >= 4 culls it (render.cs:205-226)."""
+def _node_screen_px(view, proj, bmin, bmax, width, height):
+    """Projected screen size (px) per node — the same center+radius
+    construction as the reference LOD heuristic (render.cu:350-367)."""
     center = 0.5 * (bmin + bmax)
     radius = np.linalg.norm(bmin - bmax, axis=1)
     ch = np.concatenate([center, np.ones((len(center), 1))], 1)
@@ -239,13 +256,43 @@ def node_levels(view, proj, bmin, bmax, width, height):
     pe = ve @ proj.T
     sc = 0.5 * (pc[:, :2] / pc[:, 3:4] + 1) * [width, height]
     se = 0.5 * (pe[:, :2] / pe[:, 3:4] + 1) * [width, height]
-    ps = np.linalg.norm(se - sc, axis=1)
+    return np.linalg.norm(se - sc, axis=1)
+
+
+def node_levels(view, proj, bmin, bmax, width, height):
+    """Precision level per node; >= 4 culls it (render.cs:205-226)."""
+    ps = _node_screen_px(view, proj, bmin, bmax, width, height)
     level = np.zeros(len(ps), np.int32)
     level[ps < 10000] = 1
     level[ps < 500] = 2
     level[ps < 200] = 3
     level[ps < 80] = 4
     return level
+
+
+def node_budget(view, proj, bmin, bmax, counts, width, height,
+                density: float = 3.0, k_min: int = 2):
+    """Per-node point budget k in [k_min, 64]: of every 64 consecutive
+    node points, the first k render.
+
+    The nodes-path analogue of the flagship's per-batch LOD%
+    (huffman_mem_iter_cuda/render.cu:346-379 renders the first
+    `percentage * 64` points of every thread's 64): a node whose
+    projected footprint covers ~A pixels caps its rendered points at
+    ~density * A candidates, so the per-frame working set is
+    screen-bounded instead of growing with how many points the dataset
+    stores per octree node.  Both are subsampling LOD heuristics — the
+    image keeps full coverage (>= density candidates per covered
+    pixel) but individual depth winners may differ from the unbudgeted
+    frame, exactly as the reference's LOD slider trades.
+    """
+    ps = _node_screen_px(view, proj, bmin, bmax, width, height)
+    # ps is the projected bbox diagonal; footprint area ~ ps^2 / 2,
+    # clipped to the framebuffer (a node spanning the whole screen
+    # never needs more than density * W * H candidates)
+    area = np.minimum(ps * ps * 0.5, float(width * height))
+    f = np.clip(density * area / np.maximum(counts, 1), k_min / 64.0, 1.0)
+    return np.ceil(f * 64.0).astype(np.int32)
 
 
 class ComputeLoopNodes(Method):
@@ -328,6 +375,18 @@ class ComputeLoopNodes(Method):
             p.bbox_min[:nn], np.float32).view(np.int32)
         bbits_max = np.ascontiguousarray(
             p.bbox_max[:nn], np.float32).view(np.int32)
+        # per-node first-point index: (a) a gatherable table for the
+        # nid paths, (b) XOR deltas so the plane path can rebuild the
+        # per-point node-start plane (-> local index for the budget
+        # mask) with the same scatter+scan as the other attributes
+        sn = np.full(cap + 1, n_pad, np.int64)
+        sn[:nn] = starts[:nn]
+        s32 = starts[:nn].astype(np.int32)
+        sv = np.zeros(cap2, np.int32)
+        if nn:
+            sv[0] = s32[0]
+            sv[1:nn] = s32[1:] ^ s32[:-1]
+            sv[nn] = s32[nn - 1]
         chunk_pts = min(CHUNK_PTS, n_pad)
         ncap = (n_pad + chunk_pts - 1) // chunk_pts
         total = int(starts[nn]) if nn else 0
@@ -348,10 +407,18 @@ class ComputeLoopNodes(Method):
                 b[ok] = bits[base_node[ok]]
             return b
 
+        base_sval = np.zeros(ncap, np.int32)
+        okb = (base_node >= 0) & (base_node < nn)
+        if nn:
+            base_sval[okb] = s32[base_node[okb]]
+
         tables = dict(
             nid_pt=nid_pt, bmin_nodes=bmin_nodes, bmax_nodes=bmax_nodes,
             starts=starts,
             starts_d=jnp.asarray(starts_dv.astype(np.int32)),
+            starts_nodes=jnp.asarray(sn.astype(np.int32)),
+            sval_delta=jnp.asarray(sv),
+            base_sval=jnp.asarray(base_sval),
             bmin_delta=jnp.asarray(xor_deltas(bbits_min)),
             bmax_delta=jnp.asarray(xor_deltas(bbits_max)),
             base_bmin=jnp.asarray(base_vals(bbits_min)),
@@ -379,9 +446,14 @@ class ComputeLoopNodes(Method):
             b[ok] = cv[bn[ok]]
         return jnp.asarray(d), jnp.asarray(b)
 
-    def _frame_codes(self, level, vis, cap):
-        """(level*2|vis) per node, padded to the fixed node capacity."""
+    def _frame_codes(self, level, vis, cap, k=None):
+        """(k<<4 | level<<1 | vis) per node, padded to the fixed node
+        capacity.  k (1..64, default 64 = render everything) is the
+        per-node 64-run point budget from node_budget."""
         code = (level.astype(np.int32) << 1) | vis.astype(np.int32)
+        kv = np.full(len(code), 64, np.int32) if k is None else (
+            k.astype(np.int32))
+        code = code | (kv << 4)
         full = np.zeros(cap + 1, np.int32)
         full[: len(code)] = code
         return jnp.asarray(full)
@@ -430,9 +502,13 @@ class ComputeLoopNodes(Method):
         d = p.dev
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
-        code_nodes = self._frame_codes(level, vis, len(p.nodes))
-        nid_pt = tables["nid_pt"]
         counts = p.node_count[:nn]
+        k = None
+        if Debug.node_budget > 0:
+            k = node_budget(view, proj, bmin, bmax, counts, W, H,
+                            density=Debug.node_budget)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes), k)
+        nid_pt = tables["nid_pt"]
 
         live = self._live_chunks(tables["starts"], counts, vis, n_pad)
         if jax.default_backend() == "tpu":
@@ -455,6 +531,8 @@ class ComputeLoopNodes(Method):
                     base_code, tables["base_bmin"], tables["base_bmax"],
                     wvp, jnp.asarray(live_idx), jnp.int32(len(live)),
                     W, H, ncap, chunk_pts,
+                    sval_delta=tables["sval_delta"],
+                    base_sval=tables["base_sval"],
                 )
                 fb_p = unswizzle_plane(fbp, W, H)
                 fb_d = unswizzle_plane(fbd, W, H)
@@ -466,6 +544,7 @@ class ComputeLoopNodes(Method):
                     d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
                     tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
                     wvp, jnp.uint32(s), fb_d, fb_p, W, H,
+                    starts_nodes=tables["starts_nodes"],
                 )
         renderer.last_fb = (fb_d, fb_p)
         return resolve_indexed(fb_p, d["rgba"], W, H)
@@ -505,7 +584,12 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
 
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
-        code_nodes = self._frame_codes(level, vis, len(p.nodes))
+        k = None
+        if Debug.node_budget > 0:
+            k = node_budget(view, proj, p.bbox_min[:nn], p.bbox_max[:nn],
+                            p.node_count[:nn], W, H,
+                            density=Debug.node_budget)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes), k)
         chunks = self._live_chunks(
             tables["starts"], p.node_count[:nn], vis, n_pad
         )
@@ -529,6 +613,8 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
                 tables["base_bmax"], fb_depth_sw, wvp,
                 jnp.asarray(live_idx), jnp.int32(len(chunks)),
                 W, H, ncap, chunk_pts,
+                sval_delta=tables["sval_delta"],
+                base_sval=tables["base_sval"],
             )
             acc = [unswizzle_plane(a, W, H) for a in accs]
         else:
@@ -547,12 +633,19 @@ def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
              donate_argnums=(9, 10, 11, 12))
     def step(xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, codes, rgba,
              acc_r, acc_g, acc_b, acc_n, transform, fbd,
-             width: int, height: int):
+             width: int, height: int, starts_nodes=None, base_index=None):
         MASK = 1023
         nidc = jnp.clip(nid, 0, codes.shape[0] - 1).astype(jnp.int32)
         code = codes[nidc]
-        lvl = code >> 1
+        lvl = (code >> 1) & 7
         vis = (code & 1) == 1
+        if starts_nodes is not None:
+            # per-node point budget (node_budget), same mask as the
+            # color pass
+            local = (base_index
+                     + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
+                     - starts_nodes[nidc])
+            vis &= (local & 63) < (code >> 4)
         # per-axis 1D gathers (a gathered (N,3) pads 3 -> 128 lanes)
         bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
         bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
@@ -609,6 +702,8 @@ def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
                 d["xyz4"][sl], d["xyz8"][sl], d["xyz12"][sl], nid_pt[sl],
                 tables["bmin_nodes"], tables["bmax_nodes"], code_nodes,
                 d["rgba"][sl], *acc, wvp, fb_d, W, H,
+                starts_nodes=tables["starts_nodes"],
+                base_index=jnp.int32(s),
             )
         )
     return acc

@@ -410,3 +410,84 @@ def test_hqs_overlap_tail_chunks(potree_dir):
     for kk in range(4):
         np.testing.assert_array_equal(np.asarray(got[kk]),
                                       np.asarray(want[kk]))
+
+
+def test_node_budget_parity_and_thinning(potree_dir):
+    """Per-node point budget (node_budget): the TPU single-dispatch
+    frame must bit-match the eager scatter path under the SAME budget,
+    and the budget must actually thin the candidate set."""
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        ComputeLoopNodes, node_budget, render_frame_nodes_tpu,
+    )
+    from pcrhpg24_tpu.render.methods.loop_las import (
+        SORT_SEG, raster_chunk_101010_nodes,
+    )
+    from pcrhpg24_tpu.render.raster import EMPTY, swizzle_dims, unswizzle_plane
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+    from pcrhpg24_tpu.render.methods.loop_nodes import node_levels
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    nn = p.nodes_loaded
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis = batches_in_frustum(
+        frustum_planes(np.asarray(wvp)), p.bbox_min[:nn], p.bbox_max[:nn]
+    ) & (lvl < 4)
+    counts = p.node_count[:nn]
+    # aggressive density so the tiny test screen actually thins nodes
+    k = node_budget(cam.view(), cam.proj(), p.bbox_min[:nn],
+                    p.bbox_max[:nn], counts, W, H, density=0.5)
+    assert (k < 64).any()  # at least one node is thinned
+    tables = m._per_point_tables(p.num_points_loaded)
+    codes = m._frame_codes(lvl, vis, len(p.nodes), k)
+    d = p.dev
+    n_pad = int(d["xyz4"].shape[0])
+
+    # eager scatter reference WITH the budget
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H,
+        starts_nodes=tables["starts_nodes"])
+    # budget-off reference: more (or equal) pixels win
+    codes64 = m._frame_codes(lvl, vis, len(p.nodes))
+    fb_d0 = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p0 = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d0, fb_p0 = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes64, wvp,
+        jnp.uint32(0), fb_d0, fb_p0, W, H,
+        starts_nodes=tables["starts_nodes"])
+    filled = int((np.asarray(fb_p) != EMPTY).sum())
+    filled0 = int((np.asarray(fb_p0) != EMPTY).sum())
+    assert filled > 500 and filled <= filled0
+
+    # TPU single-dispatch path with the budget: bit-exact planes
+    chunk_pts, ncap = tables["chunk_pts"], tables["ncap"]
+    live = m._live_chunks(tables["starts"], counts, vis, n_pad)
+    live_idx = np.zeros(ncap, np.int32)
+    live_idx[: len(live)] = live
+    code_delta, base_code = m._frame_code_deltas(np.asarray(codes), tables)
+    sfd, sfp = render_frame_nodes_tpu(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["starts_d"],
+        code_delta, tables["bmin_delta"], tables["bmax_delta"],
+        base_code, tables["base_bmin"], tables["base_bmax"], wvp,
+        jnp.asarray(live_idx), jnp.int32(len(live)), W, H, ncap,
+        chunk_pts, interpret=True,
+        sval_delta=tables["sval_delta"], base_sval=tables["base_sval"])
+    np.testing.assert_array_equal(
+        np.asarray(unswizzle_plane(sfp, W, H)), np.asarray(fb_p))
+    np.testing.assert_array_equal(
+        np.asarray(unswizzle_plane(sfd, W, H)), np.asarray(fb_d))
