@@ -74,6 +74,40 @@ def raster_chunk_101010(
     return sorted_scatter_u64_min(pid, depth, payload, size, fb_d, fb_p)
 
 
+
+# nodes-path sort geometry: 16384-wide rows sorted in slabs of <= 128
+# rows per lax.sort call.  XLA's batched TPU sort degrades superlinearly
+# with batch count at fixed width (one (512, 32768) nk3 call = 25.9 ms
+# for a 16.7M chunk vs 8x(128, 16384) = 8.2 ms), so big chunks sort as
+# several slab calls; full (pid, depth, payload) keys (num_keys=3) make
+# every pid run's head its exact u64 min, which lets the matscatter
+# merge kernel skip its segmented suffix-min (27.5 -> 14.4 ms per
+# 16.7M chunk, experiments/r5_potree_parts.py).
+SORT_N = 16384
+SORT_SLAB = 128
+
+
+def _sort_rows_slabbed(spid, depth, payload):
+    """(N,) streams -> (N/SORT_N, SORT_N) rows, each pid-run-head exact
+    (nk3), sorted in <=SORT_SLAB-row slabs."""
+    total = spid.shape[0]
+    n = SORT_N if total % SORT_N == 0 else total
+    rows2 = total // n
+    slab = min(SORT_SLAB, rows2)
+    outs = []
+    for i in range(0, rows2, slab):
+        rsl = slice(i * n, (i + slab) * n)
+        outs.append(jax.lax.sort(
+            [spid[rsl].reshape(-1, n), depth[rsl].reshape(-1, n),
+             payload[rsl].reshape(-1, n)],
+            num_keys=3, is_stable=False, dimension=1))
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+            jnp.concatenate([o[2] for o in outs]))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "rows"))
 def project_rows_101010_nodes(
     xyz4, xyz8, xyz12, nid, bmin_nodes, bmax_nodes, code_nodes, transform,
@@ -86,7 +120,7 @@ def project_rows_101010_nodes(
     replace the 3-key sort + unique scatter of raster_chunk_101010
     (18.7 ms sort + serial scatter per 16.7M chunk on TPU).
     `starts_nodes` (per-node first-point index) enables the per-node
-    point budget in the code's k field (node_budget)."""
+    prefix point budget in the code's take field (node_budget)."""
     from ..raster import swizzle_dims, swizzle_pid
 
     nidc = jnp.clip(nid, 0, code_nodes.shape[0] - 1).astype(jnp.int32)
@@ -97,7 +131,7 @@ def project_rows_101010_nodes(
         local = (base_index.astype(jnp.int32)
                  + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
                  - starts_nodes[nidc])
-        vis &= (local & 63) < (code >> 4)
+        vis &= local < (code >> 4)  # prefix budget (node_budget)
     bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
     bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))
     pid, depth, payload = _project_101010(
@@ -113,12 +147,7 @@ def project_rows_101010_nodes(
     spid = jnp.where(pid < width * height,
                      swizzle_pid(px, py, width).astype(jnp.uint32),
                      jnp.uint32(size))
-    n = spid.shape[0] // rows
-    return jax.lax.sort(
-        [spid.reshape(rows, n), depth.reshape(rows, n),
-         payload.reshape(rows, n)],
-        num_keys=1, is_stable=False, dimension=1,
-    )
+    return _sort_rows_slabbed(spid, depth, payload)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "rows"))
@@ -150,12 +179,7 @@ def project_rows_101010_planes(
     spid = jnp.where(pid < width * height,
                      swizzle_pid(px, py, width).astype(jnp.uint32),
                      jnp.uint32(size))
-    n = spid.shape[0] // rows
-    return jax.lax.sort(
-        [spid.reshape(rows, n), depth.reshape(rows, n),
-         payload.reshape(rows, n)],
-        num_keys=1, is_stable=False, dimension=1,
-    )
+    return _sort_rows_slabbed(spid, depth, payload)
 
 
 @partial(jax.jit, static_argnames=("width", "height"), donate_argnums=(9, 10))
@@ -169,11 +193,11 @@ def raster_chunk_101010_nodes(
     gathered by the per-point node id `nid` (u32) instead of per-point
     f32 planes — 4 B/point of residency instead of 28 B/point, the
     difference between a 350M-point resident set fitting HBM or not.
-    `code_nodes` packs (k << 4 | level << 1 | visible) per node; same
-    numerics as raster_chunk_101010 (the gathered values are
-    identical).  `starts_nodes` enables the per-node point budget: of
-    every 64 consecutive node points only the first k render
-    (node_budget; reference analogue render.cu:346-379).
+    `code_nodes` packs (take << 4 | level << 1 | visible) per node;
+    same numerics as raster_chunk_101010 (the gathered values are
+    identical).  `starts_nodes` enables the per-node prefix point
+    budget: only the node's first `take` points render (node_budget;
+    reference analogue render.cu:346-379).
     Reference analogue: per-node uniforms read by each workgroup
     (modules/compute_loop_nodes/compute_loop_nodes.h:184-185).
     """
@@ -185,7 +209,7 @@ def raster_chunk_101010_nodes(
         local = (base_index.astype(jnp.int32)
                  + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
                  - starts_nodes[nidc])
-        vis &= (local & 63) < (code >> 4)
+        vis &= local < (code >> 4)  # prefix budget (node_budget)
     # per-axis 1D gathers: a gathered (N, 3) pads its minor dim to 128
     # lanes on TPU (42.7x HBM blowup at 16.7M-point chunks)
     bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))

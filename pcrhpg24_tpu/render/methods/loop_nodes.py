@@ -38,30 +38,48 @@ CHUNK_PTS = 1 << 24  # 16.7M points per device pass
 from functools import partial as _partial
 
 
+def _scan1d_xor(t):
+    """Inclusive XOR scan of a (L,) vector: 4096-wide rows + recursive
+    row-total scan when L is large, plain doubling otherwise."""
+    L = t.shape[0]
+    if L > 4096 and L % 4096 == 0:
+        x = t.reshape(L // 4096, 4096)
+        s = 1
+        while s < 4096:
+            x = x ^ jnp.pad(x, ((0, 0), (s, 0)))[:, :4096]
+            s *= 2
+        texc = jnp.pad(_scan1d_xor(x[:, -1]), (1, 0))[: L // 4096]
+        return (x ^ texc[:, None]).reshape(-1)
+    s = 1
+    while s < L:
+        t = t ^ jnp.pad(t, (s, 0))[:L]
+        s *= 2
+    return t
+
+
 def _xor_prefix_scan(p):
     """Inclusive XOR prefix scan over a flat i32 plane.
 
-    Two-level doubling scan (rows of 4096, then a tiny row-total scan)
-    — log2(4096)+log2(n1) simple shift+xor passes with a flat graph.
-    jax.lax.associative_scan's recursive odd/even lowering blew the
-    XLA TPU compile budget (>15 min) at 5M+ elements inside the
-    chunked frame scan; this compiles in seconds.
+    Lane-width doubling scan: 7 shift+xor passes over the full array
+    at width 128 (the only full-bandwidth passes), then the (n/128,)
+    row totals scan recursively on arrays 128x smaller, and one
+    combine pass — ~9 full-array passes instead of the previous
+    4096-wide scheme's ~13 (planes phase 15.1 -> 10.5 ms per 16.7M
+    chunk, experiments/r5_potree_parts.py).  jax.lax.associative_scan's
+    recursive odd/even lowering blew the XLA TPU compile budget
+    (>15 min) at 5M+ elements inside the chunked frame scan; this
+    compiles in seconds.
     """
     n = p.shape[0]
-    n2 = 4096 if n % 4096 == 0 else 1024
-    assert n % n2 == 0, n
-    n1 = n // n2
-    x = p.reshape(n1, n2)
+    if n <= 4096 or n % 128:
+        return _scan1d_xor(p)
+    L = n // 128
+    x = p.reshape(L, 128)
     s = 1
-    while s < n2:
-        x = x ^ jnp.pad(x, ((0, 0), (s, 0)))[:, :n2]
+    while s < 128:
+        x = x ^ jnp.pad(x, ((0, 0), (s, 0)))[:, :128]
         s *= 2
-    t = x[:, -1]
-    s = 1
-    while s < n1:
-        t = t ^ jnp.pad(t, (s, 0))[:n1]
-        s *= 2
-    texc = jnp.pad(t, (1, 0))[:n1]  # exclusive row-total scan
+    texc = jnp.pad(_scan1d_xor(x[:, -1]), (1, 0))[:L]
     return (x ^ texc[:, None]).reshape(-1)
 
 
@@ -123,13 +141,13 @@ def render_frame_nodes_tpu(
 
         code_pt = plane(code_delta, base_code[c])
         if sval_delta is not None:
-            # per-node point budget (node_budget): only the first k of
-            # every 64 consecutive node points stay visible.  The
-            # node-start plane rebuilds through the same XOR scan;
-            # local index = global index - node start.
+            # per-node prefix point budget (node_budget): only the
+            # node's first `take` points stay visible.  The node-start
+            # plane rebuilds through the same XOR scan; local index =
+            # global index - node start.
             sval = plane(sval_delta, base_sval[c])
             gidx = s + jnp.arange(chunk_pts, dtype=jnp.int32)
-            ok = ((gidx - sval) & 63) < (code_pt >> 4)
+            ok = (gidx - sval) < (code_pt >> 4)
             code_pt = jnp.where(ok, code_pt, 0)
         f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
@@ -142,7 +160,7 @@ def render_frame_nodes_tpu(
         )
         gd, gp = dense_from_sorted_rows(
             sp, sd, sy, size, need_depth=True, tile_cols=wt_cols,
-            interpret=interpret)
+            fully_sorted=True, interpret=interpret)
         less = (gd < fbd) | ((gd == fbd) & (gp < fbp))
         return (jnp.where(less, gd, fbd), jnp.where(less, gp, fbp))
 
@@ -209,7 +227,7 @@ def render_frame_nodes_hqs_tpu(
             # the blend averages exactly the budgeted candidate set
             sval = plane(sval_delta, base_sval[c])
             gidx = s + jnp.arange(chunk_pts, dtype=jnp.int32)
-            ok = ((gidx - sval) & 63) < (code_pt >> 4)
+            ok = (gidx - sval) < (code_pt >> 4)
             code_pt = jnp.where(ok, code_pt, 0)
         f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         bmi = tuple(f32(plane(bmin_delta[:, k], base_bmin[c, k]))
@@ -270,29 +288,39 @@ def node_levels(view, proj, bmin, bmax, width, height):
     return level
 
 
+# budget value meaning "render every point" (no thinning); fits the
+# code's take field (27 usable bits) and exceeds any node's count
+TAKE_ALL = 1 << 26
+
+
 def node_budget(view, proj, bmin, bmax, counts, width, height,
-                density: float = 3.0, k_min: int = 2):
-    """Per-node point budget k in [k_min, 64]: of every 64 consecutive
-    node points, the first k render.
+                density: float = 3.0, min_take: int = 256):
+    """Per-node point budget: the first `take` of the node's points
+    render (a prefix), take chosen so the node's candidate count
+    tracks ~density points per covered screen pixel.
 
     The nodes-path analogue of the flagship's per-batch LOD%
-    (huffman_mem_iter_cuda/render.cu:346-379 renders the first
-    `percentage * 64` points of every thread's 64): a node whose
-    projected footprint covers ~A pixels caps its rendered points at
-    ~density * A candidates, so the per-frame working set is
-    screen-bounded instead of growing with how many points the dataset
-    stores per octree node.  Both are subsampling LOD heuristics — the
-    image keeps full coverage (>= density candidates per covered
-    pixel) but individual depth winners may differ from the unbudgeted
-    frame, exactly as the reference's LOD slider trades.
+    (huffman_mem_iter_cuda/render.cu:346-379 renders a percentage of
+    every thread's points): a node whose projected footprint covers
+    ~A pixels caps its rendered points at ~density * A candidates, so
+    the per-frame working set is screen-bounded instead of growing
+    with how many points the dataset stores per octree node.  Both are
+    subsampling LOD heuristics — the image keeps full coverage
+    (>= density candidates per covered pixel) but individual depth
+    winners may differ from the unbudgeted frame, exactly as the
+    reference's LOD slider trades.  A PREFIX is a uniform subsample
+    when node points are stored in random order (Potree writers
+    insert in scan order which interleaves; see also the builder's
+    shuffle) — and, unlike a strided mask, prefixes keep the budget
+    compactable by pure slice copies (render_frame_nodes_compact).
     """
     ps = _node_screen_px(view, proj, bmin, bmax, width, height)
     # ps is the projected bbox diagonal; footprint area ~ ps^2 / 2,
     # clipped to the framebuffer (a node spanning the whole screen
     # never needs more than density * W * H candidates)
     area = np.minimum(ps * ps * 0.5, float(width * height))
-    f = np.clip(density * area / np.maximum(counts, 1), k_min / 64.0, 1.0)
-    return np.ceil(f * 64.0).astype(np.int32)
+    take = np.ceil(density * area).astype(np.int64)
+    return np.clip(take, min_take, np.maximum(counts, 1)).astype(np.int32)
 
 
 class ComputeLoopNodes(Method):
@@ -446,14 +474,14 @@ class ComputeLoopNodes(Method):
             b[ok] = cv[bn[ok]]
         return jnp.asarray(d), jnp.asarray(b)
 
-    def _frame_codes(self, level, vis, cap, k=None):
-        """(k<<4 | level<<1 | vis) per node, padded to the fixed node
-        capacity.  k (1..64, default 64 = render everything) is the
-        per-node 64-run point budget from node_budget."""
+    def _frame_codes(self, level, vis, cap, take=None):
+        """(take<<4 | level<<1 | vis) per node, padded to the fixed
+        node capacity.  take (node_budget) is the per-node prefix
+        point budget; default TAKE_ALL = render everything."""
         code = (level.astype(np.int32) << 1) | vis.astype(np.int32)
-        kv = np.full(len(code), 64, np.int32) if k is None else (
-            k.astype(np.int32))
-        code = code | (kv << 4)
+        tv = np.full(len(code), TAKE_ALL, np.int32) if take is None else (
+            np.minimum(take.astype(np.int64), TAKE_ALL).astype(np.int32))
+        code = code | (tv << 4)
         full = np.zeros(cap + 1, np.int32)
         full[: len(code)] = code
         return jnp.asarray(full)
@@ -503,11 +531,11 @@ class ComputeLoopNodes(Method):
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
         counts = p.node_count[:nn]
-        k = None
+        take = None
         if Debug.node_budget > 0:
-            k = node_budget(view, proj, bmin, bmax, counts, W, H,
-                            density=Debug.node_budget)
-        code_nodes = self._frame_codes(level, vis, len(p.nodes), k)
+            take = node_budget(view, proj, bmin, bmax, counts, W, H,
+                               density=Debug.node_budget)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes), take)
         nid_pt = tables["nid_pt"]
 
         live = self._live_chunks(tables["starts"], counts, vis, n_pad)
@@ -584,12 +612,12 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
 
         n_pad = d["xyz4"].shape[0]
         tables = self._per_point_tables(n_loaded)
-        k = None
+        take = None
         if Debug.node_budget > 0:
-            k = node_budget(view, proj, p.bbox_min[:nn], p.bbox_max[:nn],
-                            p.node_count[:nn], W, H,
-                            density=Debug.node_budget)
-        code_nodes = self._frame_codes(level, vis, len(p.nodes), k)
+            take = node_budget(view, proj, p.bbox_min[:nn], p.bbox_max[:nn],
+                               p.node_count[:nn], W, H,
+                               density=Debug.node_budget)
+        code_nodes = self._frame_codes(level, vis, len(p.nodes), take)
         chunks = self._live_chunks(
             tables["starts"], p.node_count[:nn], vis, n_pad
         )
@@ -645,7 +673,7 @@ def _hqs_accumulate_101010(d, tables, code_nodes, chunks, wvp, fb_d, acc,
             local = (base_index
                      + jnp.arange(xyz4.shape[0], dtype=jnp.int32)
                      - starts_nodes[nidc])
-            vis &= (local & 63) < (code >> 4)
+            vis &= local < (code >> 4)
         # per-axis 1D gathers (a gathered (N,3) pads 3 -> 128 lanes)
         bmi = tuple(bmin_nodes[:, k][nidc] for k in range(3))
         bma = tuple(bmax_nodes[:, k][nidc] for k in range(3))

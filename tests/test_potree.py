@@ -445,11 +445,12 @@ def test_node_budget_parity_and_thinning(potree_dir):
     ) & (lvl < 4)
     counts = p.node_count[:nn]
     # aggressive density so the tiny test screen actually thins nodes
-    k = node_budget(cam.view(), cam.proj(), p.bbox_min[:nn],
-                    p.bbox_max[:nn], counts, W, H, density=0.5)
-    assert (k < 64).any()  # at least one node is thinned
+    take = node_budget(cam.view(), cam.proj(), p.bbox_min[:nn],
+                       p.bbox_max[:nn], counts, W, H, density=0.5,
+                       min_take=64)
+    assert (take < counts).any()  # at least one node is thinned
     tables = m._per_point_tables(p.num_points_loaded)
-    codes = m._frame_codes(lvl, vis, len(p.nodes), k)
+    codes = m._frame_codes(lvl, vis, len(p.nodes), take)
     d = p.dev
     n_pad = int(d["xyz4"].shape[0])
 
