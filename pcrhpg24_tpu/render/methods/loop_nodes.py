@@ -176,6 +176,170 @@ def render_frame_nodes_tpu(
     return fbd, fbp
 
 
+# ---------------------------------------------------------------------------
+# O(visible) compact frame: gather budgeted node prefixes, render those
+# ---------------------------------------------------------------------------
+#
+# The chunked frame above costs O(resident): every 16.7M-point chunk
+# holding ANY visible node pays full plane reconstruction + sort +
+# merge over all its slots (the 1B bench scene: 961 ms at 300M
+# resident).  With the prefix budget active, the candidate set is
+# screen-bounded (~density * covered pixels), so the frame instead
+# gathers exactly the budgeted prefixes into a small compact buffer
+# (COMPACT_SEG-aligned source segments -> one row-gather per plane,
+# ~0.7 ms per 16.7M points) and runs the chunk pipeline over THAT.
+# Frame cost becomes O(visible * density) for any resident size.
+# Reference analogue: the GPU dispatches one workgroup per accepted
+# node (compute_loop_nodes.h:150-186) — work scales with acceptance,
+# not residency.
+
+COMPACT_SEG = 4096
+COMPACT_CAP = 1 << 25  # compact buffer capacity (points)
+
+
+@_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
+                                    "seg", "interpret"))
+def render_frame_nodes_compact(
+    x4, x8, x12, seg_src, ev_pos, ev_code, ev_end, ev_off, ev_bmin,
+    ev_bmax, base_ev, wvp, n_live,
+    width: int, height: int, ncap: int, chunk_pts: int, seg: int,
+    interpret: bool = False,
+):
+    """Compact color frame: row-gather the listed source segments, then
+    the standard plane-reconstruct + project + slab-sort + merge over
+    the compact buffer only.
+
+    Per-point attributes rebuild from XOR deltas scattered at EVENT
+    positions in the compact axis (ev_pos): one event per copied
+    segment start (the covering node can change discontinuously
+    between non-adjacent segments) plus one per node boundary inside a
+    segment, closed by a zero event at the end of coverage.  Events
+    carry (code = level<<1|vis, end = node_start + take, off = global -
+    compact index, bmin/bmax bit patterns); visibility of a compact
+    point is code.vis AND gidx < end, where gidx = compact index + off
+    — this masks budget-exceeding points, neighbours copied by segment
+    alignment, and the pad tail, all through the one mechanism.  The
+    winning payload is the GLOBAL point index, so planes are
+    bit-identical to the direct (non-compacted) budgeted frame.
+    """
+    from ..pallas_merge import dense_from_sorted_rows
+    from ..raster import swizzle_dims
+
+    wt_cols, _ht, size = swizzle_dims(width, height)
+    cap_pts = seg_src.shape[0] * seg
+    g = lambda a: a.reshape(-1, seg)[seg_src].reshape(-1)
+    x4c, x8c, x12c = g(x4), g(x8), g(x12)
+
+    def do_chunk(carry, c):
+        fbd, fbp = carry
+        s = jnp.minimum(c * chunk_pts, cap_pts - chunk_pts).astype(jnp.int32)
+        sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk_pts,))
+        idx = ev_pos - s
+        idx = jnp.where(idx < 0, chunk_pts, idx)
+
+        def plane(deltas, base):
+            p = jnp.zeros((chunk_pts,), jnp.int32).at[idx].add(
+                deltas, mode="drop")
+            return base ^ _xor_prefix_scan(p)
+
+        code_pt = plane(ev_code, base_ev[c, 0])
+        end_pt = plane(ev_end, base_ev[c, 1])
+        off_pt = plane(ev_off, base_ev[c, 2])
+        gidx = off_pt + s + jnp.arange(chunk_pts, dtype=jnp.int32)
+        code_pt = jnp.where(gidx < end_pt, code_pt, 0)
+        f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bmi = tuple(f32(plane(ev_bmin[:, k], base_ev[c, 3 + k]))
+                    for k in range(3))
+        bma = tuple(f32(plane(ev_bmax[:, k], base_ev[c, 6 + k]))
+                    for k in range(3))
+        sp, sd, sy = project_rows_101010_planes(
+            sl(x4c), sl(x8c), sl(x12c), code_pt, bmi, bma, wvp,
+            jnp.uint32(0), width, height, rows=chunk_pts // SORT_SEG,
+            payload=gidx.astype(jnp.uint32),
+        )
+        gd, gp = dense_from_sorted_rows(
+            sp, sd, sy, size, need_depth=True, tile_cols=wt_cols,
+            fully_sorted=True, interpret=interpret)
+        less = (gd < fbd) | ((gd == fbd) & (gp < fbp))
+        return (jnp.where(less, gd, fbd), jnp.where(less, gp, fbp))
+
+    def body(carry, c):
+        carry = jax.lax.cond(
+            c < n_live, lambda cr: do_chunk(cr, c), lambda cr: cr, carry)
+        return carry, None
+
+    init = (jnp.full((size,), EMPTY, jnp.uint32),
+            jnp.full((size,), EMPTY, jnp.uint32))
+    (fbd, fbp), _ = jax.lax.scan(
+        body, init, jnp.arange(ncap, dtype=jnp.int32))
+    return fbd, fbp
+
+
+@_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
+                                    "seg", "interpret"))
+def render_frame_nodes_compact_hqs(
+    x4, x8, x12, rgba, seg_src, ev_pos, ev_code, ev_end, ev_off, ev_bmin,
+    ev_bmax, base_ev, fb_depth_sw, wvp, n_live,
+    width: int, height: int, ncap: int, chunk_pts: int, seg: int,
+    interpret: bool = False,
+):
+    """HQS accumulate over the compact buffer (see
+    render_frame_nodes_compact); payload is the compact rgba plane.
+    The chunk-overlap prefix masks out exactly as in
+    render_frame_nodes_hqs_tpu (sums are not idempotent)."""
+    from ..pallas_hqs import hqs_sums_from_rows
+    from ..raster import swizzle_dims
+
+    wt_cols, _ht, size = swizzle_dims(width, height)
+    cap_pts = seg_src.shape[0] * seg
+    g = lambda a: a.reshape(-1, seg)[seg_src].reshape(-1)
+    x4c, x8c, x12c, rgbac = g(x4), g(x8), g(x12), g(rgba)
+
+    def do_chunk(carry, c):
+        s = jnp.minimum(c * chunk_pts, cap_pts - chunk_pts).astype(jnp.int32)
+        sl = lambda a: jax.lax.dynamic_slice(a, (s,), (chunk_pts,))
+        idx = ev_pos - s
+        idx = jnp.where(idx < 0, chunk_pts, idx)
+
+        def plane(deltas, base):
+            p = jnp.zeros((chunk_pts,), jnp.int32).at[idx].add(
+                deltas, mode="drop")
+            return base ^ _xor_prefix_scan(p)
+
+        code_pt = plane(ev_code, base_ev[c, 0])
+        overlap = c * chunk_pts - s
+        code_pt = jnp.where(
+            jnp.arange(chunk_pts, dtype=jnp.int32) < overlap, 0, code_pt)
+        end_pt = plane(ev_end, base_ev[c, 1])
+        off_pt = plane(ev_off, base_ev[c, 2])
+        gidx = off_pt + s + jnp.arange(chunk_pts, dtype=jnp.int32)
+        code_pt = jnp.where(gidx < end_pt, code_pt, 0)
+        f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        bmi = tuple(f32(plane(ev_bmin[:, k], base_ev[c, 3 + k]))
+                    for k in range(3))
+        bma = tuple(f32(plane(ev_bmax[:, k], base_ev[c, 6 + k]))
+                    for k in range(3))
+        sp, sd, sy = project_rows_101010_planes(
+            sl(x4c), sl(x8c), sl(x12c), code_pt, bmi, bma, wvp,
+            jnp.uint32(0), width, height, rows=chunk_pts // SORT_SEG,
+            payload=sl(rgbac) & jnp.uint32(0xFFFFFF),
+        )
+        planes = hqs_sums_from_rows(
+            sp, sd, sy, fb_depth_sw, size, interpret=interpret,
+            tile_cols=wt_cols,
+        )
+        return tuple(a + p for a, p in zip(carry, planes))
+
+    def body(carry, c):
+        carry = jax.lax.cond(
+            c < n_live, lambda cr: do_chunk(cr, c), lambda cr: cr, carry)
+        return carry, None
+
+    init = tuple(jnp.zeros((size,), jnp.uint32) for _ in range(4))
+    acc, _ = jax.lax.scan(body, init, jnp.arange(ncap, dtype=jnp.int32))
+    return acc
+
+
 @_partial(jax.jit, static_argnames=("width", "height", "ncap", "chunk_pts",
                                     "interpret"))
 def render_frame_nodes_hqs_tpu(
@@ -505,6 +669,131 @@ class ComputeLoopNodes(Method):
                 live[a : b + 1] = True
         return np.flatnonzero(live)
 
+    def _compact_frame_tables(self, vis, level, take):
+        """Per-frame host arrays for the compact O(visible) frame.
+
+        Pure numpy, O(visible nodes + copied segments).  Returns None
+        when nothing is visible.  See render_frame_nodes_compact for
+        the event semantics.  All returned device arrays have FIXED
+        capacities (cap_segs source rows, cap_ev events) so the jitted
+        frame compiles once per scene.
+        """
+        p = self.potree
+        nn = p.nodes_loaded
+        n_pad = int(p.dev["xyz4"].shape[0])
+        SEG = COMPACT_SEG
+        cap_pts = min(COMPACT_CAP, n_pad)
+        chunk_pts = min(CHUNK_PTS, cap_pts)
+        ncap = max(1, -(-cap_pts // chunk_pts))
+        cap_pts = ncap * chunk_pts if cap_pts % chunk_pts else cap_pts
+        cap_segs = cap_pts // SEG
+        counts = p.node_count[:nn].astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        t_all = np.minimum(take[:nn].astype(np.int64), counts)
+        vi = np.flatnonzero(vis[:nn] & (t_all > 0))
+        if len(vi) == 0:
+            return None
+        s_n = starts[vi]
+        t_n = t_all[vi]
+        # aligned segment cover of each node's budget prefix; if the
+        # cover exceeds the buffer, shrink every take proportionally
+        # (the budget is a heuristic — a denser cap is still a valid,
+        # screen-bounded LOD)
+        for _ in range(64):
+            a0 = s_n // SEG
+            a1 = (s_n + t_n - 1) // SEG
+            nseg_n = a1 - a0 + 1
+            tot = int(nseg_n.sum())
+            if tot <= cap_segs:
+                break
+            t_n = np.maximum(1, t_n * 9 // 10)
+        else:
+            raise RuntimeError("compact cover does not fit the buffer")
+        t_all = t_all.copy()
+        t_all[vi] = t_n
+        seg_src = np.zeros(cap_segs, np.int32)
+        seg_src[:tot] = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(a0, a1)]).astype(np.int32)
+        A = seg_src[:tot].astype(np.int64) * SEG
+
+        # events: covering node at each segment start + node starts
+        # strictly inside each segment, then one closing zero event
+        cov = np.searchsorted(starts, A, side="right") - 1
+        lo = np.searchsorted(starts[:nn], A, side="right")
+        hi = np.searchsorted(starts[:nn], A + SEG, side="left")
+        ev_pos, ev_node, ev_segoff = [], [], []
+        off_seg = (seg_src[:tot].astype(np.int64) - np.arange(tot)) * SEG
+        for j in range(tot):
+            ev_pos.append(j * SEG)
+            ev_node.append(int(cov[j]))
+            ev_segoff.append(int(off_seg[j]))
+            for k in range(int(lo[j]), int(hi[j])):
+                ev_pos.append(j * SEG + int(starts[k] - A[j]))
+                ev_node.append(k)
+                ev_segoff.append(int(off_seg[j]))
+        ev_pos.append(tot * SEG)
+        ev_node.append(-1)  # closing zero event
+        ev_segoff.append(0)
+        ne = len(ev_pos)
+        cap_ev = cap_segs + len(p.nodes) + 2
+        assert ne <= cap_ev, (ne, cap_ev)
+
+        # absolute event values -> XOR deltas in event order
+        node = np.asarray(ev_node)
+        okn = node >= 0
+        code_v = np.zeros(ne, np.int32)
+        code_v[okn] = ((level[node[okn]].astype(np.int32) << 1)
+                       | vis[node[okn]].astype(np.int32))
+        end_v = np.zeros(ne, np.int64)
+        end_v[okn] = starts[node[okn]] + t_all[node[okn]]
+        end_v = end_v.astype(np.int32)
+        off_v = np.asarray(ev_segoff, np.int64).astype(np.int32)
+        off_v[~okn] = 0
+        bmin_v = np.zeros((ne, 3), np.int32)
+        bmax_v = np.zeros((ne, 3), np.int32)
+        bmin_bits = np.ascontiguousarray(
+            p.bbox_min[:nn], np.float32).view(np.int32)
+        bmax_bits = np.ascontiguousarray(
+            p.bbox_max[:nn], np.float32).view(np.int32)
+        bmin_v[okn] = bmin_bits[node[okn]]
+        bmax_v[okn] = bmax_bits[node[okn]]
+
+        def to_deltas(v):
+            d = np.zeros((cap_ev,) + v.shape[1:], np.int32)
+            d[0] = v[0]
+            d[1:ne] = v[1:] ^ v[:-1]
+            return d
+
+        pos_full = np.full(cap_ev, cap_pts, np.int32)
+        pos_full[:ne] = ev_pos
+        # per-chunk base = value of the last event at position <= s-1,
+        # s = the chunk's CLAMPED start
+        base_ev = np.zeros((ncap, 9), np.int32)
+        posn = np.asarray(ev_pos)
+        vals = [code_v, end_v, off_v] + [bmin_v[:, k] for k in range(3)] \
+            + [bmax_v[:, k] for k in range(3)]
+        for c in range(ncap):
+            s_c = min(c * chunk_pts, cap_pts - chunk_pts)
+            if s_c <= 0:
+                continue
+            e = np.searchsorted(posn, s_c - 1, side="right") - 1
+            if e >= 0:
+                for q in range(9):
+                    base_ev[c, q] = vals[q][e]
+        n_live = -(-tot * SEG // chunk_pts)
+        return dict(
+            seg_src=jnp.asarray(seg_src),
+            ev_pos=jnp.asarray(pos_full),
+            ev_code=jnp.asarray(to_deltas(code_v)),
+            ev_end=jnp.asarray(to_deltas(end_v)),
+            ev_off=jnp.asarray(to_deltas(off_v)),
+            ev_bmin=jnp.asarray(to_deltas(bmin_v)),
+            ev_bmax=jnp.asarray(to_deltas(bmax_v)),
+            base_ev=jnp.asarray(base_ev),
+            n_live=jnp.int32(n_live), ncap=ncap, chunk_pts=chunk_pts,
+            budgeted_pts=int(t_n.sum()),
+        )
+
     def render(self, renderer):
         p = self.potree
         p.process(renderer)
@@ -539,6 +828,25 @@ class ComputeLoopNodes(Method):
         nid_pt = tables["nid_pt"]
 
         live = self._live_chunks(tables["starts"], counts, vis, n_pad)
+        if jax.default_backend() == "tpu" and take is not None:
+            # budgeted O(visible) compact frame: gather the budgeted
+            # node prefixes and render only those — frame cost no
+            # longer scales with residency
+            from ..raster import unswizzle_plane
+
+            ct = self._compact_frame_tables(vis, level, take)
+            if ct is not None:
+                fbd, fbp = render_frame_nodes_compact(
+                    d["xyz4"], d["xyz8"], d["xyz12"], ct["seg_src"],
+                    ct["ev_pos"], ct["ev_code"], ct["ev_end"],
+                    ct["ev_off"], ct["ev_bmin"], ct["ev_bmax"],
+                    ct["base_ev"], wvp, ct["n_live"],
+                    W, H, ct["ncap"], ct["chunk_pts"], COMPACT_SEG,
+                )
+                fb_p = unswizzle_plane(fbp, W, H)
+                fb_d = unswizzle_plane(fbd, W, H)
+            renderer.last_fb = (fb_d, fb_p)
+            return resolve_indexed(fb_p, d["rgba"], W, H)
         if jax.default_backend() == "tpu":
             # flagship resolve (segmented nk1 sorts + the scatter-free
             # merge kernel), whole frame in ONE dispatch: a lax.scan
@@ -622,6 +930,23 @@ class ComputeLoopNodesHqs(ComputeLoopNodes):
             tables["starts"], p.node_count[:nn], vis, n_pad
         )
 
+        if jax.default_backend() == "tpu" and take is not None:
+            # budgeted compact HQS (see render_frame_nodes_compact)
+            from ..raster import swizzle_plane, unswizzle_plane
+
+            ct = self._compact_frame_tables(vis, level, take)
+            if ct is not None:
+                accs = render_frame_nodes_compact_hqs(
+                    d["xyz4"], d["xyz8"], d["xyz12"], d["rgba"],
+                    ct["seg_src"], ct["ev_pos"], ct["ev_code"],
+                    ct["ev_end"], ct["ev_off"], ct["ev_bmin"],
+                    ct["ev_bmax"], ct["base_ev"],
+                    swizzle_plane(fb_d, W, H, EMPTY), wvp, ct["n_live"],
+                    W, H, ct["ncap"], ct["chunk_pts"], COMPACT_SEG,
+                )
+                acc = [unswizzle_plane(a, W, H) for a in accs]
+            renderer.last_fb = (fb_d, acc[3])
+            return resolve_hqs(*acc, W, H)
         if jax.default_backend() == "tpu":
             # single-dispatch gather-free accumulate (matscatter HQS
             # sum kernel); per-chunk eager scatter-adds cost ~320 ms

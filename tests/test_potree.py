@@ -492,3 +492,142 @@ def test_node_budget_parity_and_thinning(potree_dir):
         np.asarray(unswizzle_plane(sfp, W, H)), np.asarray(fb_p))
     np.testing.assert_array_equal(
         np.asarray(unswizzle_plane(sfd, W, H)), np.asarray(fb_d))
+
+
+def test_compact_frame_matches_direct(potree_dir):
+    """The O(visible) compact frame (segment row-gather + event-plane
+    reconstruction, interpret-mode merge) must bit-match the direct
+    budgeted eager-scatter frame — including with a multi-chunk
+    compact buffer and a clamped last chunk."""
+    import pcrhpg24_tpu.render.methods.loop_nodes as ln
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        COMPACT_SEG, ComputeLoopNodes, node_budget, node_levels,
+        render_frame_nodes_compact,
+    )
+    from pcrhpg24_tpu.render.methods.loop_las import raster_chunk_101010_nodes
+    from pcrhpg24_tpu.render.raster import EMPTY, unswizzle_plane
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    nn = p.nodes_loaded
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis = batches_in_frustum(
+        frustum_planes(np.asarray(wvp)), p.bbox_min[:nn], p.bbox_max[:nn]
+    ) & (lvl < 4)
+    take = node_budget(cam.view(), cam.proj(), p.bbox_min[:nn],
+                       p.bbox_max[:nn], p.node_count[:nn], W, H,
+                       density=0.5, min_take=64)
+    assert (take < p.node_count[:nn]).any()
+    tables = m._per_point_tables(p.num_points_loaded)
+    codes = m._frame_codes(lvl, vis, len(p.nodes), take)
+    d = p.dev
+
+    # direct budgeted eager reference
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H,
+        starts_nodes=tables["starts_nodes"])
+
+    # small chunks force a multi-chunk compact scan with a clamped tail
+    old_chunk = ln.CHUNK_PTS
+    ln.CHUNK_PTS = 3 * COMPACT_SEG * 8  # 98304
+    try:
+        ct = m._compact_frame_tables(vis, lvl, take)
+    finally:
+        ln.CHUNK_PTS = old_chunk
+    assert ct is not None and ct["ncap"] >= 2
+    sfd, sfp = render_frame_nodes_compact(
+        d["xyz4"], d["xyz8"], d["xyz12"], ct["seg_src"], ct["ev_pos"],
+        ct["ev_code"], ct["ev_end"], ct["ev_off"], ct["ev_bmin"],
+        ct["ev_bmax"], ct["base_ev"], wvp, ct["n_live"],
+        W, H, ct["ncap"], ct["chunk_pts"], COMPACT_SEG, interpret=True)
+    got_p = np.asarray(unswizzle_plane(sfp, W, H))
+    got_d = np.asarray(unswizzle_plane(sfd, W, H))
+    assert (np.asarray(fb_p) != EMPTY).sum() > 500
+    np.testing.assert_array_equal(got_p, np.asarray(fb_p))
+    np.testing.assert_array_equal(got_d, np.asarray(fb_d))
+
+
+def test_compact_hqs_matches_eager(potree_dir):
+    """Compact HQS sums == eager budgeted scatter-add sums."""
+    import pcrhpg24_tpu.render.methods.loop_nodes as ln
+    from pcrhpg24_tpu.render.methods.loop_nodes import (
+        COMPACT_SEG, ComputeLoopNodes, _hqs_accumulate_101010,
+        node_budget, node_levels, render_frame_nodes_compact_hqs,
+    )
+    from pcrhpg24_tpu.render.methods.loop_las import raster_chunk_101010_nodes
+    from pcrhpg24_tpu.render.raster import (
+        EMPTY, swizzle_plane, unswizzle_plane,
+    )
+    from pcrhpg24_tpu.render.camera import batches_in_frustum, frustum_planes
+
+    Runtime.resource = None
+    r = Renderer(W, H)
+    r.apply_setting(Setting(yaw=0.4, pitch=-0.8, radius=500.0,
+                            target=(250, 250, 60)))
+    p = PotreeData.create(potree_dir)
+    m = ComputeLoopNodes(r, p)
+    m.update(r)
+    p.wait_loaded(r)
+    r.controls_update()
+    cam = r.camera
+    wvp = jnp.asarray((cam.proj() @ cam.view()).astype(np.float32))
+    nn = p.nodes_loaded
+    lvl = node_levels(cam.view(), cam.proj(), p.bbox_min[:nn],
+                      p.bbox_max[:nn], W, H)
+    vis = batches_in_frustum(
+        frustum_planes(np.asarray(wvp)), p.bbox_min[:nn], p.bbox_max[:nn]
+    ) & (lvl < 4)
+    take = node_budget(cam.view(), cam.proj(), p.bbox_min[:nn],
+                       p.bbox_max[:nn], p.node_count[:nn], W, H,
+                       density=0.5, min_take=64)
+    tables = m._per_point_tables(p.num_points_loaded)
+    codes = m._frame_codes(lvl, vis, len(p.nodes), take)
+    d = p.dev
+    n_pad = int(d["xyz4"].shape[0])
+
+    fb_d = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_p = jnp.full((W * H,), EMPTY, jnp.uint32)
+    fb_d, fb_p = raster_chunk_101010_nodes(
+        d["xyz4"], d["xyz8"], d["xyz12"], tables["nid_pt"],
+        tables["bmin_nodes"], tables["bmax_nodes"], codes, wvp,
+        jnp.uint32(0), fb_d, fb_p, W, H,
+        starts_nodes=tables["starts_nodes"])
+
+    chunks = m._live_chunks(tables["starts"], p.node_count[:nn], vis, n_pad)
+    acc0 = [jnp.zeros((W * H,), jnp.uint32) for _ in range(4)]
+    want = _hqs_accumulate_101010(d, tables, codes, chunks, wvp, fb_d,
+                                  acc0, W, H)
+
+    old_chunk = ln.CHUNK_PTS
+    ln.CHUNK_PTS = 3 * COMPACT_SEG * 8
+    try:
+        ct = m._compact_frame_tables(vis, lvl, take)
+    finally:
+        ln.CHUNK_PTS = old_chunk
+    assert ct is not None and ct["ncap"] >= 2
+    accs = render_frame_nodes_compact_hqs(
+        d["xyz4"], d["xyz8"], d["xyz12"], d["rgba"], ct["seg_src"],
+        ct["ev_pos"], ct["ev_code"], ct["ev_end"], ct["ev_off"],
+        ct["ev_bmin"], ct["ev_bmax"], ct["base_ev"],
+        swizzle_plane(fb_d, W, H, EMPTY), wvp, ct["n_live"],
+        W, H, ct["ncap"], ct["chunk_pts"], COMPACT_SEG, interpret=True)
+    got = [unswizzle_plane(a, W, H) for a in accs]
+    assert int(np.asarray(want[3]).sum()) > 500
+    for kk in range(4):
+        np.testing.assert_array_equal(np.asarray(got[kk]),
+                                      np.asarray(want[kk]))
