@@ -47,23 +47,20 @@ def build_methods(renderer: Renderer, scene_path: str):
         data = HuffmanLasData.create(scene_path)
         Runtime.add_method(HuffmanMemIter(renderer, data))
         Runtime.add_method(HuffmanHQS(renderer, data))
-        # reference scenes also get the fast Pallas path through a
-        # transcoded .tpc sidecar (C++ transcoder, cached on disk)
-        sidecar = scene_path + ".tpc"
+        # reference scenes get the fast Pallas path through LOAD-TIME
+        # conversion (fused C++ transcode on the loader pool, no .tpc
+        # on disk); decoded geometry is bit-identical to the XLA path
         try:
-            if not os.path.exists(sidecar):
-                from .formats.native_file import transcode_huffman_to_tpc
-
-                transcode_huffman_to_tpc(scene_path, sidecar, verbose=False)
-            from .engine.native_resource import NativeLasData
+            from .engine.native_resource import HuffmanNativeData
             from .render.methods.huffman_tpu import HuffmanTpu
 
-            Runtime.add_method(HuffmanTpu(renderer, NativeLasData.create(sidecar)))
-        except Exception as e:  # sidecar is an optimization, not a requirement
+            Runtime.add_method(
+                HuffmanTpu(renderer, HuffmanNativeData.create(scene_path)))
+        except Exception as e:  # the fast path is an optimization
             import sys as _sys
             import traceback
 
-            print(f"WARNING: tpc sidecar transcode failed ({e}); "
+            print(f"WARNING: load-time conversion failed ({e}); "
                   "falling back to the XLA .huffman path", file=_sys.stderr)
             traceback.print_exc(file=_sys.stderr)
     elif (scene_path.endswith(".laz") or "," in scene_path

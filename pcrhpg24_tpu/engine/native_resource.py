@@ -195,3 +195,122 @@ class NativeLasData(Resource):
             self.process(renderer, max_tasks=1_000_000)
             time.sleep(0.01)
         return self
+
+
+class HuffmanNativeData(NativeLasData):
+    """Reference `.huffman` scene on the flagship Pallas path, with the
+    format conversion at LOAD TIME — no `.tpc` sidecar on disk.
+
+    The loader thread reads reference batch blobs and a worker pool runs
+    the fused C++ transcode (native.transcode_ref_batch: reference
+    Huffman decode -> fbatch fixed-width re-encode in one call; the
+    decoded reference deltas ARE the fixed codec's chain deltas, so no
+    coordinate materialization happens).  Decoded geometry is
+    bit-identical to the `.huffman` XLA path (same deltas), so the
+    framebuffer-equality gates apply unchanged.  Reference ingest
+    analogue: modules/compute/HuffmanLasLoader.cpp:81-299 (its loader
+    threads + per-frame uploadBatch).
+
+    The per-group stream width is not in the reference header; the
+    device stream buffer starts at 1.5x batch 0's width and grows
+    (one realloc + copy) if a later batch exceeds it.
+    """
+
+    BATCHES_PER_TASK = 32
+
+    def __init__(self, path: str):
+        from ..codec.fixed import FixedBatch
+        from ..formats.huffman_file import read_batch, read_file_header
+        from .. import native as _ncore
+
+        if not _ncore.available():
+            raise RuntimeError("native codec core required for the "
+                               ".huffman load-time fast path")
+        self.path = path
+        self.ref_hdr = read_file_header(path)
+        self.num_batches = self.ref_hdr.num_batches
+        self.num_points = self.num_batches * WORKGROUP_SIZE * 64
+        self.num_batches_loaded = 0
+        self.num_points_loaded = 0
+        self.version = 2
+        self.color_fmt = "bc1"
+        b0 = read_batch(path, self.ref_hdr, 0)
+        st, wd, pt, mn, mx = _ncore.transcode_ref_batch(b0)
+        self._fb0 = (FixedBatch(streams=st, widths=wd,
+                                start_values=np.asarray(
+                                    b0.start_values, np.int32
+                                ).reshape(-1, 3),
+                                bbox_min_i=mn, bbox_max_i=mx,
+                                round_ptrs=pt),
+                     np.asarray(b0.color, np.uint32))
+        self.maxt = (st.shape[1] * 3 // 2 + 127) // 128 + 4
+        self.maxw = self.maxt * 128
+        self.dev = {}
+        self.scale = np.asarray(b0.las_scale)
+        self.offset = np.asarray(b0.las_offset)
+        self.las_min = np.asarray(b0.las_min, np.float64)
+        self.bbox_min = np.zeros((self.num_batches, 3), np.float32)
+        self.bbox_max = np.zeros((self.num_batches, 3), np.float32)
+        from ..render.methods.huffman_tpu import CHUNK as _NCHUNK
+        b_pad = -(-self.num_batches // _NCHUNK) * _NCHUNK
+        self.anchor_i = np.zeros((b_pad, 3), np.int64)
+        self._queue: Queue = Queue()
+        self._thread = None
+        self._abort = threading.Event()
+
+    def _loader_main(self):
+        from concurrent.futures import ThreadPoolExecutor
+        import os
+
+        from ..codec.fixed import FixedBatch
+        from ..formats.huffman_file import read_batch
+        from .. import native as _ncore
+
+        def one(i):
+            if i == 0 and self._fb0 is not None:
+                return self._fb0
+            b = read_batch(self.path, self.ref_hdr, i)
+            st, wd, pt, mn, mx = _ncore.transcode_ref_batch(b)
+            fb = FixedBatch(
+                streams=st, widths=wd,
+                start_values=np.asarray(b.start_values,
+                                        np.int32).reshape(-1, 3),
+                bbox_min_i=mn, bbox_max_i=mx, round_ptrs=pt)
+            return fb, np.asarray(b.color, np.uint32)
+
+        try:
+            # the C++ transcode releases the GIL (ctypes), so a small
+            # pool overlaps IO + conversion; sized to the host
+            workers = min(8, os.cpu_count() or 1)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for start in range(0, self.num_batches,
+                                   self.BATCHES_PER_TASK):
+                    if self._abort.is_set():
+                        return
+                    end = min(start + self.BATCHES_PER_TASK,
+                              self.num_batches)
+                    items = list(pool.map(one, range(start, end)))
+                    self._queue.put((start, items))
+        except Exception as e:
+            self._queue.put(("error", e))
+
+    def process(self, renderer=None, max_tasks: int = 8):
+        # grow the device stream buffer when a queued task's widest
+        # batch exceeds it (rare: the reference header carries no
+        # group-width bound, so the initial size is an estimate)
+        need = 0
+        for _s, items in list(self._queue.queue):
+            if isinstance(_s, str):
+                continue
+            for fb, _c in items:
+                nt = (fb.streams.shape[1] + 127) // 128 + 4
+                need = max(need, nt)
+        if need > self.maxt and "streams" in self.dev:
+            old = self.dev["streams"]
+            grown = jnp.zeros(
+                (old.shape[0], need, G, 128), jnp.uint32
+            ).at[:, : old.shape[1]].set(old)
+            self.dev["streams"] = grown
+            self.maxt = need
+            self.maxw = need * 128
+        super().process(renderer, max_tasks)

@@ -273,18 +273,31 @@ def transcode_huffman_to_tpc(huffman_path: str, tpc_path: str, verbose=True,
 
     def one(i: int):
         b = read_batch(huffman_path, hdr, i)
-        if _ncore.available():
-            deltas = _ncore.decode_ref_batch_deltas(
-                b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
-                b.decoder_values, b.decoder_cw_len,
-            )
+        if v2 and _ncore.available():
+            # fused C++ decode + fbatch re-encode (the decoded reference
+            # deltas ARE the fixed codec's chain deltas): 6.4 -> 16.8
+            # Mpts/s per core on the bench scene
+            from ..codec.fixed import FixedBatch
+
+            st, wdt, pt, mn, mx = _ncore.transcode_ref_batch(b)
+            fb = FixedBatch(
+                streams=st, widths=wdt,
+                start_values=np.asarray(b.start_values,
+                                        np.int32).reshape(-1, 3),
+                bbox_min_i=mn, bbox_max_i=mx, round_ptrs=pt)
         else:
-            deltas = decode_batch(
-                b.encoding, b.cluster_sizes, b.separate, b.separate_sizes,
-                b.decoder_values, b.decoder_cw_len,
-            )
-        coords = deltas_to_coords(deltas, b.start_values)
-        fb = encode(coords[:, 0], coords[:, 1], coords[:, 2])
+            if _ncore.available():
+                deltas = _ncore.decode_ref_batch_deltas(
+                    b.encoding, b.cluster_sizes, b.separate,
+                    b.separate_sizes, b.decoder_values, b.decoder_cw_len,
+                )
+            else:
+                deltas = decode_batch(
+                    b.encoding, b.cluster_sizes, b.separate,
+                    b.separate_sizes, b.decoder_values, b.decoder_cw_len,
+                )
+            coords = deltas_to_coords(deltas, b.start_values)
+            fb = encode(coords[:, 0], coords[:, 1], coords[:, 2])
         color = np.asarray(b.color, np.uint32)
         blob = batch_to_blob_v2(fb, color) if v2 else batch_to_blob(fb, color)
         gw = (fb.streams.shape[1] if v2

@@ -60,6 +60,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.transcode_ref_batch.restype = ctypes.c_int
+    lib.transcode_ref_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.encode_ref_batch.restype = ctypes.c_int
     lib.encode_ref_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -176,3 +183,41 @@ def encode_fixed_batch_streams(deltas: np.ndarray, maxw: int):
     if rc != 0:
         return None
     return stream[:, : nwords.value].copy(), widths, ptrs
+
+
+def transcode_ref_batch(b, maxw: int = 16384):
+    """Fused C++ decode + fbatch re-encode of one reference batch.
+
+    `b` is a huffman_file batch record.  Returns (streams (8,nwords)
+    u32, widths (1024,3) u8, round_ptrs (64,) i32, bbox_min_i (3,) i32,
+    bbox_max_i (3,) i32) — the decoded reference deltas ARE the fixed
+    codec's chain deltas (same 1024x64 chain structure), so no
+    intermediate coordinate materialization happens.
+    """
+    lib = get_lib()
+    encoding = np.ascontiguousarray(b.encoding, np.uint32)
+    cluster = np.ascontiguousarray(b.cluster_sizes, np.int32)
+    sep = np.ascontiguousarray(b.separate, np.int32)
+    if sep.size == 0:
+        sep = np.zeros(1, np.int32)
+    sepsz = np.ascontiguousarray(b.separate_sizes, np.int32)
+    tv = np.ascontiguousarray(b.decoder_values, np.int32)
+    tl = np.ascontiguousarray(b.decoder_cw_len, np.int32)
+    sv = np.ascontiguousarray(b.start_values, np.int32)
+    while True:
+        widths = np.zeros((1024, 3), np.uint8)
+        stream = np.zeros((8, maxw), np.uint32)
+        nwords = ctypes.c_int64()
+        ptrs = np.zeros(64, np.int32)
+        bbox = np.zeros(6, np.int32)
+        rc = lib.transcode_ref_batch(
+            encoding.ctypes.data, len(encoding), cluster.ctypes.data,
+            sep.ctypes.data, sepsz.ctypes.data, tv.ctypes.data,
+            tl.ctypes.data, sv.ctypes.data, widths.ctypes.data,
+            stream.ctypes.data, ctypes.byref(nwords), ptrs.ctypes.data,
+            bbox.ctypes.data, maxw,
+        )
+        if rc == 0:
+            return (stream[:, : nwords.value].copy(), widths, ptrs,
+                    bbox[:3].copy(), bbox[3:].copy())
+        maxw *= 2

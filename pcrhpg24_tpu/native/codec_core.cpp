@@ -393,3 +393,51 @@ int encode_fixed_batch(const int32_t* deltas, uint8_t* out_widths,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fused reference-batch -> fbatch transcode (the load-time fast path)
+// ---------------------------------------------------------------------------
+// Decodes one reference `.huffman` batch, computes the integer bbox, and
+// re-encodes in the fixed-width TPU layout, all in one call — one
+// thread-pool task per batch at load time, no intermediate NumPy passes
+// (reference ingest analogue: modules/compute/HuffmanLasLoader.cpp:176-299
+// uploads its format directly; the TPU path re-lays the bits out for the
+// Pallas decoder's uniform refill rounds instead).
+// start_values: 1024*3 int32; out_bbox: 6 int32 (min xyz, max xyz).
+int transcode_ref_batch(const uint32_t* encoding, int64_t e_len,
+                        const int32_t* cluster, const int32_t* separate,
+                        const int32_t* sep_sizes, const int32_t* tval,
+                        const int32_t* tlen, const int32_t* start_values,
+                        uint8_t* out_widths, uint32_t* out_stream,
+                        int64_t* out_nwords, int32_t* out_ptrs,
+                        int32_t* out_bbox, int64_t maxw) {
+  std::vector<int32_t> deltas((size_t)kLanes * kSymsPerLane);
+  int rc = decode_ref_batch(encoding, e_len, cluster, separate, sep_sizes,
+                            tval, tlen, deltas.data());
+  if (rc) return rc;
+  int32_t mn[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+  int32_t mx[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+  for (int l = 0; l < kLanes; ++l) {
+    // delta[0] == 0, so the start value itself enters the minmax
+    int32_t cur[3] = {start_values[l * 3], start_values[l * 3 + 1],
+                      start_values[l * 3 + 2]};
+    const int32_t* d = deltas.data() + (size_t)l * kSymsPerLane;
+    for (int i = 0; i < kSymsPerLane; i += 3) {
+      for (int c = 0; c < 3; ++c) {
+        cur[c] = int32_t(uint32_t(cur[c]) + uint32_t(d[i + c]));
+        if (cur[c] < mn[c]) mn[c] = cur[c];
+        if (cur[c] > mx[c]) mx[c] = cur[c];
+      }
+    }
+  }
+  for (int c = 0; c < 3; ++c) {
+    out_bbox[c] = mn[c];
+    out_bbox[3 + c] = mx[c];
+  }
+  return encode_fixed_batch(deltas.data(), out_widths, out_stream,
+                            out_nwords, out_ptrs, maxw);
+}
+
+}  // extern "C"

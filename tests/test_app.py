@@ -56,8 +56,10 @@ def test_huffman_scene_gets_tpu_method(tmp_path, capsys):
     main(["--scene", huf, "--list-methods"])
     out = capsys.readouterr().out
     assert "huffman_mem_iter" in out
-    assert "huffman_tpu" in out  # sidecar transcode registered
-    assert os.path.exists(huf + ".tpc")
+    assert "huffman_tpu" in out  # load-time fast path registered
+    # conversion happens at load time now — nothing written next to
+    # the scene (the reference's 4.1B scene would need no sidecar)
+    assert not os.path.exists(huf + ".tpc")
 
 
 def test_viewer_serves_frames(tpc_scene):

@@ -222,3 +222,22 @@ def test_colorize_overdraw_heatmap(paths):
         data.unload(r)
     finally:
         Debug.colorize_overdraw = False
+
+
+def test_huffman_loadtime_fast_path(paths):
+    """HuffmanNativeData (load-time fused C++ transcode, no .tpc on
+    disk) must render the exact flagship framebuffer of the
+    disk-transcoded .tpc scene, and match the XLA .huffman method."""
+    from pcrhpg24_tpu.engine.native_resource import HuffmanNativeData
+
+    _las, huf, tpc = paths
+    Debug.lod = 1.0
+    img_tpc, fb_tpc = _run_method(HuffmanTpu, NativeLasData, tpc)
+    img_ld, fb_ld = _run_method(HuffmanTpu, HuffmanNativeData, huf)
+    np.testing.assert_array_equal(np.asarray(img_ld), np.asarray(img_tpc))
+    np.testing.assert_array_equal(np.asarray(fb_ld[1]), np.asarray(fb_tpc[1]))
+
+    img_ref, fb_ref = _run_method(HuffmanMemIter, HuffmanLasData, huf)
+    from tests.fbcompare import assert_fb_close
+
+    assert_fb_close(fb_ld[0], fb_ld[1], fb_ref[0], fb_ref[1])
