@@ -403,6 +403,110 @@ def main() -> int:
                 float(chain(las.dev, fpd, tbd, scale, offset_rel,
                             jnp.int32(1 + FRAMES)))
 
+    # ---- non-flagship method stages (regression tracking) ----
+    # Cheap wall frames for the reference-format XLA method, loop_las,
+    # and the 2021 HQS baseline, plus a DEVICE-timed flagship frame on a
+    # reference .huffman scene through the load-time converter (its
+    # geometry is bit-identical, so the same chain harness applies).
+    if _remaining() > 420 and BENCH_METHOD == "native":
+        try:
+            methods_out = {}
+            detail["methods"] = methods_out
+            r.apply_setting(VIEWS["orbit"])
+            r.controls_update()
+
+            # load-time .huffman fast path on the SAME 64-batch scene
+            from pcrhpg24_tpu.engine.native_resource import HuffmanNativeData
+
+            huf = build_scene("out/bench_64.huffman", BENCH_BATCHES) \
+                if BENCH_BATCHES == 64 else None
+            if huf:
+                t0 = time.perf_counter()
+                h = HuffmanNativeData.create(huf)
+                h.wait_loaded(r)
+                t_conv = time.perf_counter() - t0
+                h._dev_consts = (scale, offset_rel)
+                fpd, tbd = frame_inputs()
+                # chain harness over the converted dev dict (same scene,
+                # same anchors); also a cross-format equality gate
+                _d1, _p1, img_h = render_frame_native(
+                    h.dev, fpd, scale, offset_rel, tb=tbd, **kw)
+                _d2, _p2, img_t = render_frame_native(
+                    las.dev, fpd, scale, offset_rel, tb=tbd, **kw)
+                gates["huffman_native"] = (
+                    "pass" if np.array_equal(np.asarray(img_h),
+                                             np.asarray(img_t)) else "FAIL")
+                las_dev = las.dev
+                las.dev = h.dev
+                try:
+                    dt_h = time_chain(fpd, tbd)
+                finally:
+                    las.dev = las_dev
+                methods_out["huffman_native"] = {
+                    "device_frame_ms": round(dt_h * 1e3, 2),
+                    "gpts_per_s": round(pts_per_frame / dt_h / 1e9, 4),
+                    "convert_s": round(t_conv, 2),
+                    "convert_mpts_per_s": round(
+                        h.num_points / t_conv / 1e6, 1),
+                }
+                h.unload(r)
+
+            # wall-frame stages for the remaining families (1M scene)
+            from pcrhpg24_tpu.engine.method import Runtime as _RT
+            from pcrhpg24_tpu.engine.resource import HuffmanLasData
+            from pcrhpg24_tpu.engine.las_resources import (
+                ComputeLasData, LasStandardData,
+            )
+            from pcrhpg24_tpu.render.methods.huffman_mem_iter import (
+                HuffmanMemIter,
+            )
+            from pcrhpg24_tpu.render.methods.loop_las import ComputeLoopLas
+            from pcrhpg24_tpu.render.methods.compute_2021 import Compute2021Hqs
+
+            huf16 = build_scene("out/bench_16.huffman", 16)
+            las16 = "out/bench_16s.las"
+            if not os.path.exists(las16):
+                from pcrhpg24_tpu.formats.las import write_las
+                from pcrhpg24_tpu.utils.synthetic import (
+                    cloud_to_grid, terrain_cloud,
+                )
+
+                xyz, rgb = terrain_cloud(16 * 65536, seed=1, extent=2000.0)
+                grid = cloud_to_grid(xyz)
+                write_las(las16, grid[:, 0], grid[:, 1], grid[:, 2], rgb)
+
+            def stage(name, MethodC, Res, path):
+                if _remaining() < 150:
+                    methods_out[name] = "skipped (budget)"
+                    return
+                _RT.resource = None
+                data = Res.create(path)
+                mm = MethodC(r, data)
+                mm.update(r)
+                deadline = time.time() + 120
+                while (data.state.name != "LOADED"
+                       and time.time() < deadline):
+                    r.loop(mm.update, mm.render, frames=1)
+                r.loop(mm.update, mm.render, frames=1)  # warm
+                best = 1e9
+                for _i in range(3):
+                    r.controls.yaw += 0.001
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(
+                        r.loop(mm.update, mm.render, frames=1))
+                    best = min(best, time.perf_counter() - t0)
+                methods_out[name] = {"wall_frame_ms": round(best * 1e3, 2)}
+                data.unload(r)
+                _RT.resource = None
+
+            stage("huffman_mem_iter", HuffmanMemIter, HuffmanLasData, huf16)
+            stage("loop_las", ComputeLoopLas, ComputeLasData, las16)
+            stage("2021_hqs", Compute2021Hqs, LasStandardData, las16)
+        except Exception as e:
+            detail["methods_error"] = str(e)
+        r.apply_setting(VIEWS["orbit"])
+        r.controls_update()
+
     # ---- optional: interactive wall-clock (tunnel RTT included) ----
     if _remaining() > 180:
         r.apply_setting(VIEWS["orbit"])
