@@ -31,11 +31,24 @@ MAXL = TPU_MAX_CODE_LEN
 class NativeLasData(Resource):
     BATCHES_PER_TASK = 100
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, budget_batches: int | None = None):
+        """`budget_batches` caps device residency for >HBM datasets:
+        the loader streams the first `budget_batches` batches and stops
+        (coarse Morton prefix = a spatially complete subsampled cover,
+        chunk by chunk).  The resource reports LOADED at the budget;
+        `resident_limited` records that the dataset is larger.
+        Reference analogue: PotreeData's budgeted bin streaming
+        (modules/compute/PotreeData.h:288-311)."""
         self.path = path
         self.header = read_tpc_header(path)
-        self.num_points = self.header.num_points
-        self.num_batches = self.header.num_batches
+        self.dataset_points = self.header.num_points
+        self.dataset_batches = self.header.num_batches
+        nb = self.header.num_batches
+        if budget_batches is not None:
+            nb = min(nb, budget_batches)
+        self.resident_limited = nb < self.header.num_batches
+        self.num_points = nb * WORKGROUP_SIZE * 64
+        self.num_batches = nb
         self.num_batches_loaded = 0
         self.num_points_loaded = 0
         self.version = self.header.version
@@ -57,8 +70,9 @@ class NativeLasData(Resource):
         self._abort = threading.Event()
 
     @classmethod
-    def create(cls, path: str) -> "NativeLasData":
-        return cls(path)
+    def create(cls, path: str, budget_batches: int | None = None
+               ) -> "NativeLasData":
+        return cls(path, budget_batches=budget_batches)
 
     def load(self, renderer=None):
         if self.state != ResourceState.UNLOADED:

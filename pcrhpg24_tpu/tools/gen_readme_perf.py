@@ -46,14 +46,28 @@ def build_rows(root: str) -> list[str]:
         rows.append(
             f"| full frame at {r['points'] / 1e6:.1f}M pts | "
             f"{r['gpts_per_s']} Gpts/s ({r['device_frame_ms']} ms) |")
+    fe = runs.get("flagship_2e9")
+    if fe:
+        rows.append(
+            f"| flagship 2B-point dataset (streamed residency, "
+            f"{fe['resident_points'] / 1e6:.0f}M resident, all visible) | "
+            f"{fe['gpts_per_s']} Gpts/s ({fe['steady_frame_ms']} ms "
+            f"steady frame, {fe['peak_hbm_gib']} GiB peak HBM) |")
     pe = runs.get("potree_1e9")
     if pe:
+        bud = pe.get("budgeted_points")
+        budtxt = (f", {bud / 1e6:.0f}M budgeted (density "
+                  f"{pe.get('budget_density')})" if bud else "")
         rows.append(
             f"| Potree 1B-point scene (loop_nodes, "
             f"{pe['resident_points'] / 1e6:.0f}M resident / "
-            f"{pe['visible_points'] / 1e6:.0f}M visible, streamed "
+            f"{pe['visible_points'] / 1e6:.0f}M visible{budtxt}, streamed "
             f">HBM) | {pe['steady_frame_ms']} ms steady frame, "
             f"{pe['peak_hbm_gib']} GiB peak HBM |")
+        if pe.get("hqs_steady_frame_ms"):
+            rows.append(
+                f"| Potree 1B HQS accumulate at the same budget | "
+                f"{pe['hqs_steady_frame_ms']} ms |")
     hqs = runs.get("hqs")
     if hqs:
         for k, v in sorted(hqs.items()):
