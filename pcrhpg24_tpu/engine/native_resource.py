@@ -232,7 +232,7 @@ class HuffmanNativeData(NativeLasData):
 
     BATCHES_PER_TASK = 32
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, budget_batches: int | None = None):
         from ..codec.fixed import FixedBatch
         from ..formats.huffman_file import read_batch, read_file_header
         from .. import native as _ncore
@@ -242,7 +242,13 @@ class HuffmanNativeData(NativeLasData):
                                ".huffman load-time fast path")
         self.path = path
         self.ref_hdr = read_file_header(path)
-        self.num_batches = self.ref_hdr.num_batches
+        self.dataset_batches = self.ref_hdr.num_batches
+        nb = self.ref_hdr.num_batches
+        if budget_batches is not None:
+            nb = min(nb, budget_batches)
+        self.resident_limited = nb < self.ref_hdr.num_batches
+        self.dataset_points = self.dataset_batches * WORKGROUP_SIZE * 64
+        self.num_batches = nb
         self.num_points = self.num_batches * WORKGROUP_SIZE * 64
         self.num_batches_loaded = 0
         self.num_points_loaded = 0

@@ -243,19 +243,45 @@ def render_frame_native(
     # kernel time on window-heavy views, experiments/r3_matscatter.py)
     from ..pallas_merge import SORT_KEYS
 
-    def chunk_body(carry, c):
-        pid_c, dep_c, pay_c = render_chunk_native(
-            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-            width, height, mode, use_pallas, points, fmt, tb,
-            color_fmt=color_fmt,
-        )
-        n = pid_c.shape[0] // SORT_ROWS
-        sp, sd, sy = jax.lax.sort(
-            [pid_c.reshape(SORT_ROWS, n).astype(jnp.uint32),
-             dep_c.reshape(SORT_ROWS, n), pay_c.reshape(SORT_ROWS, n)],
-            num_keys=SORT_KEYS if use_pallas else 1,
-            is_stable=False, dimension=1,
-        )
+    # live-chunk compaction: a chunk with NO visible batch skips its
+    # whole decode+project+sort via lax.cond (close-up views cull most
+    # of a large scene, and Morton order keeps the visible batches in
+    # few contiguous chunks — the reference analogue is simply not
+    # launching blocks for culled batches).  Skipped steps emit
+    # sentinel rows (pid = size), which the merge table treats as
+    # empty; the image is bit-identical because culled batches
+    # contributed nothing anyway (lod_n == 0 masks all their points).
+    chunk_live = (
+        lod_n[: nchunks * CHUNK].reshape(nchunks, CHUNK) > 0
+    ).any(axis=1)
+    live_order = jnp.argsort(~chunk_live, stable=True).astype(jnp.int32)
+    n_live_chunks = chunk_live.sum()
+
+    def chunk_body(carry, g):
+        c = live_order[g]
+
+        def do(_):
+            pid_c, dep_c, pay_c = render_chunk_native(
+                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+                width, height, mode, use_pallas, points, fmt, tb,
+                color_fmt=color_fmt,
+            )
+            n = pid_c.shape[0] // SORT_ROWS
+            return jax.lax.sort(
+                [pid_c.reshape(SORT_ROWS, n).astype(jnp.uint32),
+                 dep_c.reshape(SORT_ROWS, n), pay_c.reshape(SORT_ROWS, n)],
+                num_keys=SORT_KEYS if use_pallas else 1,
+                is_stable=False, dimension=1,
+            )
+
+        def skip(_):
+            # stream width follows the LOD decode bucket `points`
+            n = CHUNK * 1024 * points // SORT_ROWS
+            return (jnp.full((SORT_ROWS, n), jnp.uint32(size)),
+                    jnp.zeros((SORT_ROWS, n), jnp.uint32),
+                    jnp.zeros((SORT_ROWS, n), jnp.uint32))
+
+        sp, sd, sy = jax.lax.cond(g < n_live_chunks, do, skip, 0)
         return carry, (sp, sd, sy)
 
     _c, (sps, sds, sys_) = jax.lax.scan(
@@ -373,11 +399,18 @@ class HuffmanTpu(HuffmanMemIter):
             (cam.proj() @ cam.view()), las.anchor_i[: las.dev["anchor"].shape[0]],
             las.scale, las.offset, las.las_min,
         )
+        # ONE host->device transfer per frame: frame params and the
+        # per-batch folded translations ride a single packed array and
+        # split on device (each dispatch through the axon tunnel pays
+        # per-transfer latency; the reference's analogue is one
+        # ChangingRenderData upload, huffman_mem_iter_cuda.h:160-183)
+        packed = jnp.asarray(np.concatenate(
+            [fp, np.asarray(tb, np.float32).ravel()]))
         fb_d, fb_p, img = render_frame_native(
-            las.dev, jnp.asarray(fp), scale, offset_rel, W, H, mode,
+            las.dev, packed[:40], scale, offset_rel, W, H, mode,
             (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
-            points, need_depth, fmt, jnp.asarray(tb),
+            points, need_depth, fmt, packed[40:].reshape(-1, 4),
             color_fmt=getattr(las, "color_fmt", "bc1"),
         )
         renderer.last_fb = (fb_d, fb_p)
