@@ -255,39 +255,44 @@ def render_frame_native(
         lod_n[: nchunks * CHUNK].reshape(nchunks, CHUNK) > 0
     ).any(axis=1)
     live_order = jnp.argsort(~chunk_live, stable=True).astype(jnp.int32)
-    n_live_chunks = chunk_live.sum()
+    n_live_chunks = chunk_live.sum().astype(jnp.int32)
 
-    def chunk_body(carry, g):
+    # while_loop with a DYNAMIC trip count (one body instance — a
+    # cond-in-scan variant doubled the compiled body and blew the
+    # remote-compile budget at 96 chunks); rows of never-visited
+    # chunks keep their sentinel init (pid = size), which the merge
+    # table treats as empty
+    nseg = CHUNK * 1024 * points // SORT_ROWS
+    sps0 = jnp.full((nchunks * SORT_ROWS, nseg), jnp.uint32(size))
+    sds0 = jnp.zeros((nchunks * SORT_ROWS, nseg), jnp.uint32)
+    sys0 = jnp.zeros((nchunks * SORT_ROWS, nseg), jnp.uint32)
+
+    def chunk_cond(st):
+        return st[0] < n_live_chunks
+
+    def chunk_body(st):
+        g, sps, sds, sys_ = st
         c = live_order[g]
+        pid_c, dep_c, pay_c = render_chunk_native(
+            dev, c * CHUNK, transform, lod_n, scale, offset_rel,
+            width, height, mode, use_pallas, points, fmt, tb,
+            color_fmt=color_fmt,
+        )
+        sp, sd, sy = jax.lax.sort(
+            [pid_c.reshape(SORT_ROWS, nseg).astype(jnp.uint32),
+             dep_c.reshape(SORT_ROWS, nseg), pay_c.reshape(SORT_ROWS, nseg)],
+            num_keys=SORT_KEYS if use_pallas else 1,
+            is_stable=False, dimension=1,
+        )
+        row0 = g * SORT_ROWS
+        return (g + 1,
+                jax.lax.dynamic_update_slice(sps, sp, (row0, 0)),
+                jax.lax.dynamic_update_slice(sds, sd, (row0, 0)),
+                jax.lax.dynamic_update_slice(sys_, sy, (row0, 0)))
 
-        def do(_):
-            pid_c, dep_c, pay_c = render_chunk_native(
-                dev, c * CHUNK, transform, lod_n, scale, offset_rel,
-                width, height, mode, use_pallas, points, fmt, tb,
-                color_fmt=color_fmt,
-            )
-            n = pid_c.shape[0] // SORT_ROWS
-            return jax.lax.sort(
-                [pid_c.reshape(SORT_ROWS, n).astype(jnp.uint32),
-                 dep_c.reshape(SORT_ROWS, n), pay_c.reshape(SORT_ROWS, n)],
-                num_keys=SORT_KEYS if use_pallas else 1,
-                is_stable=False, dimension=1,
-            )
-
-        def skip(_):
-            # stream width follows the LOD decode bucket `points`
-            n = CHUNK * 1024 * points // SORT_ROWS
-            return (jnp.full((SORT_ROWS, n), jnp.uint32(size)),
-                    jnp.zeros((SORT_ROWS, n), jnp.uint32),
-                    jnp.zeros((SORT_ROWS, n), jnp.uint32))
-
-        sp, sd, sy = jax.lax.cond(g < n_live_chunks, do, skip, 0)
-        return carry, (sp, sd, sy)
-
-    _c, (sps, sds, sys_) = jax.lax.scan(
-        chunk_body, 0, jnp.arange(nchunks, dtype=jnp.int32)
+    _g, sps, sds, sys_ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), sps0, sds0, sys0)
     )
-    nseg = sps.shape[-1]
     if mode == "colorize_overdraw":
         # per-pixel point counts -> 5-bucket spectral heatmap (debug mode;
         # reference: compute_loop_las_hqs/resolve.cs:54-103).  Counts use
@@ -406,9 +411,14 @@ class HuffmanTpu(HuffmanMemIter):
         # ChangingRenderData upload, huffman_mem_iter_cuda.h:160-183)
         packed = jnp.asarray(np.concatenate(
             [fp, np.asarray(tb, np.float32).ravel()]))
+        # nchunks is the SCENE capacity, not the loaded count: chunks
+        # beyond num_batches_loaded skip via the live-chunk cond (their
+        # lod_n is 0), so streaming loads render without recompiling
+        # the frame for every upload step
         fb_d, fb_p, img = render_frame_native(
             las.dev, packed[:40], scale, offset_rel, W, H, mode,
-            (B + CHUNK - 1) // CHUNK, jax.default_backend() == "tpu",
+            (las.num_batches + CHUNK - 1) // CHUNK,
+            jax.default_backend() == "tpu",
             Debug.frustum_culling_enabled and Debug.update_frustum,
             points, need_depth, fmt, packed[40:].reshape(-1, 4),
             color_fmt=getattr(las, "color_fmt", "bc1"),
